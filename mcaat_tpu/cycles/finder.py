@@ -1,0 +1,223 @@
+"""Bounded multicycle enumeration (the "FBCE" core algorithm).
+
+Faithful reimplementation of ``CycleFinder::FindCycle`` /
+``FindCycleUtil`` / ``FindApproximateCRISPRArrays`` (reference
+``src/cycle_finder.cpp:131-492``): Johnson-style bounded-length cycle
+enumeration with a lock/relax mechanism, run per start node.
+
+Division of labor (TPU-first): the *whole-graph* work — pruning, the
+candidate scan and the millions of bounded reachability probes — runs on
+device (see ``prune/`` and ``cycles/start_nodes.py``). The per-start-node
+DFS below only ever touches the tiny neighborhood of an actual CRISPR
+candidate (cycles ≤ cycle_max_length, ≤ 500 cycles per node), so it runs
+on host over the numpy adjacency mirror; its cost is negligible next to
+the scans.
+
+Semantics preserved from the reference:
+* neighbor admission: not globally visited, start_mult // nbr_mult ≤ 500,
+  neighbor != expanding node, both valid (``_BackgroundCheck``,
+  src/cycle_finder.cpp:40-52).
+* a cycle is recorded when the start node reappears and
+  ``len(path) > cycle_min_length`` (src/cycle_finder.cpp:157-166).
+* lock/relax: a node is expandable iff ``len(path) < lock[node]``
+  (default ``cycle_max_length``); on backtrack, locks of ancestors within
+  range are relaxed through *incoming* edges (src/cycle_finder.cpp:168-210).
+* nodes of recorded cycles are marked globally visited, suppressing later
+  start nodes (src/cycle_finder.cpp:217-223).
+* start nodes are processed bucket-by-bucket in descending
+  ceil(log2(mult)) order (src/cycle_finder.cpp:468).
+
+Deterministic divergences (documented, SURVEY.md §7.3 risk 2):
+* neighbor sets iterate in ascending node order (the reference iterates
+  C++ unordered_set order — thread/schedule dependent).
+* a start node that exceeds ``cluster_bounds`` (500) cycles aborts with no
+  cycles. The reference clears the list and then spins until a 10M-step
+  counter trips (src/cycle_finder.cpp:147-166), returning whatever
+  accumulated after the last clear — i.e. effectively junk for such
+  tangles; we abort cleanly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mcaat_tpu.graph.dbg import DBG
+from mcaat_tpu.prune.prune import prune_graph
+from mcaat_tpu.cycles.start_nodes import select_start_nodes
+
+CLUSTER_BOUNDS = 500  # src/cycle_finder.cpp:132
+MULT_RATIO_LIMIT = 500  # src/cycle_finder.cpp:45
+STEP_LIMIT = 10_000_000  # src/cycle_finder.cpp:149
+
+
+@dataclass
+class CycleFinder:
+    """Host-side enumerator over a pruned graph's numpy adjacency."""
+
+    out: np.ndarray  # int32 [N, 4]
+    in_: np.ndarray  # int32 [N, 4]
+    valid: np.ndarray  # bool [N]
+    mult: np.ndarray  # int32 [N]
+    cycle_min_length: int
+    cycle_max_length: int
+    visited: np.ndarray = field(default=None)  # bool [N]
+
+    def __post_init__(self):
+        if self.visited is None:
+            self.visited = np.zeros(self.out.shape[0], dtype=bool)
+
+    # -- neighbor queries (≙ _GetOutgoings/_GetIncomings with background check)
+    def _admissible(self, nbrs, node: int, start_mult: int) -> list[int]:
+        res = []
+        for nb in nbrs:
+            nb = int(nb)
+            if nb < 0 or not self.valid[nb]:
+                continue
+            if self.visited[nb]:
+                continue
+            if start_mult // int(self.mult[nb]) > MULT_RATIO_LIMIT:
+                continue
+            if nb == node:
+                continue
+            res.append(nb)
+        res.sort()
+        return res
+
+    def _outgoings(self, node: int, start_mult: int) -> list[int]:
+        if not self.valid[node]:
+            return []
+        return self._admissible(self.out[node], node, start_mult)
+
+    def _incomings(self, node: int, start_mult: int) -> list[int]:
+        if not self.valid[node]:
+            return []
+        return self._admissible(self.in_[node], node, start_mult)
+
+    # -- the bounded DFS with lock/relax (≙ FindCycle) ------------------------
+    def find_cycles_from(self, start: int) -> list[list[int]]:
+        max_len = self.cycle_max_length
+        min_len = self.cycle_min_length
+        start_mult = int(self.mult[start])
+
+        path: list[int] = [start]
+        lock: dict[int, int] = {start: 0}
+        stack: list[list[int]] = [self._outgoings(start, start_mult)]
+        backtrack: list[int] = [max_len]
+        cycles: list[list[int]] = []
+        steps = 0
+
+        while stack:
+            steps += 1
+            if steps > STEP_LIMIT:
+                break
+            neighbors = stack[-1]
+            advanced = False
+            aborted = False
+            for pos, nb in enumerate(neighbors):
+                if nb == start:
+                    backtrack[-1] = 1
+                    if len(path) > min_len:
+                        cycles.append(list(path))
+                        if len(cycles) >= CLUSTER_BOUNDS:
+                            return []  # tangle: abort (see module docstring)
+                elif len(path) < lock.get(nb, max_len):
+                    neighbors.pop(pos)
+                    path.append(nb)
+                    backtrack.append(max_len)
+                    lock[nb] = len(path)
+                    stack.append(self._outgoings(nb, start_mult))
+                    advanced = True
+                    break
+            if aborted:
+                break
+            if not advanced:
+                stack.pop()
+                v = path.pop()
+                bl = backtrack.pop()
+                if backtrack:
+                    backtrack[-1] = min(backtrack[-1], bl)
+                if bl < max_len:
+                    # relax locks of ancestors (Johnson-style unblocking,
+                    # bounded to cycle_max_length; src/cycle_finder.cpp:191-210)
+                    relax_stack = [(bl, v)]
+                    path_set = set(path)
+                    while relax_stack:
+                        rbl, u = relax_stack.pop()
+                        if lock.get(u, max_len) < max_len - rbl + 1:
+                            lock[u] = max_len - rbl + 1
+                            for w in self._incomings(u, start_mult):
+                                if w not in path_set:
+                                    relax_stack.append((rbl + 1, w))
+
+        if cycles:
+            for cyc in cycles:
+                for node in cyc:
+                    self.visited[node] = True
+        return cycles
+
+    # -- full enumeration over bucketed start nodes (≙ FindApproximateCRISPRArrays)
+    def enumerate(
+        self, buckets: dict[int, list[int]], verbose: bool = True
+    ) -> dict[int, list[list[int]]]:
+        results: dict[int, list[list[int]]] = {}
+        cumulative = 0
+        for key in sorted(buckets, reverse=True):
+            at_bucket_start = cumulative
+            nodes = sorted(buckets[key])
+            for start in nodes:
+                if self.visited[start]:
+                    continue
+                cycles = self.find_cycles_from(start)
+                cumulative += len(cycles)
+                results[start] = cycles
+            if verbose:
+                print(
+                    f"Bucket log2_mult={key}: processed {len(nodes)} nodes, "
+                    f"found {cumulative - at_bucket_start} cycles "
+                    f"(cumulative {cumulative})"
+                )
+        if verbose:
+            print(
+                f"Cycle enumeration completed: total cycles={cumulative}, "
+                f"result nodes={len(results)}"
+            )
+        return results
+
+
+def find_cycles(
+    graph: DBG,
+    threshold_multiplicity: int = 20,
+    cycle_min_length: int = 27,
+    cycle_max_length: int = 77,
+    verbose: bool = True,
+) -> tuple[DBG, dict[int, list[list[int]]]]:
+    """Prune + start-node scan (device) + cycle enumeration (host).
+
+    Returns the pruned graph and ``{start_node: [cycles]}`` (each cycle a
+    node-id list beginning at its start node), the analog of
+    ``CycleFinder::results`` (reference include/cycle_finder.h:60).
+    """
+    graph = prune_graph(graph, verbose=verbose)
+    buckets = select_start_nodes(
+        graph, threshold_multiplicity, cycle_max_length, verbose=verbose
+    )
+    finder = CycleFinder(
+        out=np.asarray(graph.out),
+        in_=np.asarray(graph.in_),
+        valid=np.asarray(graph.valid),
+        mult=np.asarray(graph.mult),
+        cycle_min_length=cycle_min_length,
+        cycle_max_length=cycle_max_length,
+    )
+    results = finder.enumerate(buckets, verbose=verbose)
+    return graph, results
+
+
+def cycles_map_to_cycles(results: dict[int, list[list[int]]]) -> list[list[int]]:
+    """Flatten {start: [cycles]} deterministically (≙ src/tmp_utils.cpp:26-38)."""
+    flat: list[list[int]] = []
+    for start in sorted(results):
+        flat.extend(results[start])
+    return flat

@@ -1,0 +1,207 @@
+"""Start-node selection: vectorized candidate filter + batched bounded BFS.
+
+Replaces ``CycleFinder::ChunkStartNodes`` + ``DepthLevelSearch`` (reference
+``src/cycle_finder.cpp:248-343,387-427``). The reference runs millions of
+scalar depth-limited DFS probes (its own headline optimization target:
+30-40M nodes / 5 min, ``src/z_optimization_dev_notes.md:11``). Here the
+candidate predicate is one vectorized pass over the whole node table, and
+the "is this node on a cycle of length ≤ L" probe runs as a *batched*
+frontier BFS: B candidate lanes advance together, each level is one gather
+``out[frontier] -> [B, F, 4]`` + dedup (sort per lane) + bitset visited
+update — all on device.
+
+Candidate predicate (src/cycle_finder.cpp:398-411):
+  valid ∧ in-degree ≥ 2 ∧ mult > threshold_multiplicity ∧ no self-loop,
+then keep only candidates that can reach themselves within
+``cycle_max_length`` steps.
+
+The BFS uses a per-lane visited bitset (uint32 words) and a per-level
+frontier cap F. If a lane's level ever overflows F the lane is flagged and
+re-checked exactly on host (rare: the probe region is bounded by depth
+≤ 77 over out-degree ≤ 4 graphs that have been multiplicity-pruned).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcaat_tpu.graph.dbg import DBG
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "frontier_cap"))
+def _self_reach_kernel(
+    out: jax.Array,  # int32 [N, 4]
+    valid: jax.Array,  # bool  [N]
+    starts: jax.Array,  # int32 [B]
+    max_depth: int,
+    frontier_cap: int,
+):
+    N = out.shape[0]
+    B = starts.shape[0]
+    F = frontier_cap
+    W = (N + 31) // 32
+    live_lane = starts >= 0
+    starts_c = jnp.maximum(starts, 0)
+
+    frontier = jnp.full((B, F), N, dtype=jnp.int32)
+    frontier = frontier.at[:, 0].set(jnp.where(live_lane, starts_c, N))
+    visited = jnp.zeros((B, W), dtype=jnp.uint32)
+    found = jnp.zeros((B,), dtype=bool)
+    overflow = jnp.zeros((B,), dtype=bool)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def body(_, state):
+        frontier, visited, found, overflow = state
+        f_live = frontier < N
+        f_idx = jnp.minimum(frontier, N - 1)
+        nbrs = out[f_idx]  # [B, F, 4]
+        nbr_live = (nbrs >= 0) & f_live[..., None]
+        nbrs_c = jnp.maximum(nbrs, 0)
+        nbr_live &= valid[nbrs_c]
+        # cycle closure: any neighbor equals the lane's start node
+        found = found | jnp.any(nbr_live & (nbrs_c == starts_c[:, None, None]), axis=(1, 2))
+
+        flat = jnp.where(nbr_live, nbrs_c, N).reshape(B, 4 * F)
+        # visited filter
+        word = jnp.minimum(flat >> 5, W - 1)
+        bit = (jnp.uint32(1) << (flat & 31).astype(jnp.uint32))
+        seen = (jnp.take_along_axis(visited, word, axis=1) & bit) != 0
+        flat = jnp.where(seen, N, flat)
+        # dedup within the level: sort per lane, keep first occurrence
+        flat = jnp.sort(flat, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), flat[:, 1:] == flat[:, :-1]], axis=1
+        )
+        flat = jnp.where(dup, N, flat)
+        flat = jnp.sort(flat, axis=1)
+        n_new = jnp.sum(flat < N, axis=1)
+        overflow = overflow | (n_new > F)
+        new_frontier = flat[:, :F]
+        # mark visited (values are deduped, so add == or on fresh bits)
+        nf_live = new_frontier < N
+        w2 = jnp.minimum(new_frontier >> 5, W - 1)
+        b2 = jnp.where(
+            nf_live, jnp.uint32(1) << (new_frontier & 31).astype(jnp.uint32), jnp.uint32(0)
+        )
+        visited = visited.at[jnp.broadcast_to(rows, w2.shape), w2].add(b2)
+        return new_frontier, visited, found, overflow
+
+    frontier, visited, found, overflow = jax.lax.fori_loop(
+        0, max_depth, body, (frontier, visited, found, overflow)
+    )
+    return found & live_lane, overflow & live_lane
+
+
+def self_reachable_batch(
+    graph: DBG,
+    starts: np.ndarray,
+    max_depth: int,
+    batch: int = 64,
+    frontier_cap: int = 1024,
+) -> np.ndarray:
+    """For each start node: can it reach itself in ≤ max_depth valid steps?
+
+    Exact: lanes whose frontier overflowed are re-run with a host DFS.
+    """
+    starts = np.asarray(starts, dtype=np.int32)
+    n = len(starts)
+    result = np.zeros(n, dtype=bool)
+    if n == 0:
+        return result
+    # frontier can never exceed the node count; shrink lanes for tiny inputs
+    # (fewer/faster compiles, same results)
+    frontier_cap = min(frontier_cap, _pow2ceil(graph.size))
+    batch = min(batch, _pow2ceil(n))
+    out_h = None
+    valid_h = None
+    for lo in range(0, n, batch):
+        chunk = starts[lo : lo + batch]
+        pad = np.full(batch - len(chunk), -1, dtype=np.int32)
+        starts_b = jnp.asarray(np.concatenate([chunk, pad]))
+        found, overflow = _self_reach_kernel(
+            graph.out, graph.valid, starts_b, max_depth, frontier_cap
+        )
+        found = np.asarray(found[: len(chunk)])
+        overflow = np.asarray(overflow[: len(chunk)])
+        result[lo : lo + len(chunk)] = found
+        if overflow.any():
+            if out_h is None:
+                out_h = np.asarray(graph.out)
+                valid_h = np.asarray(graph.valid)
+            for i in np.nonzero(overflow & ~found)[0]:
+                result[lo + i] = _self_reach_host(
+                    out_h, valid_h, int(chunk[i]), max_depth
+                )
+    return result
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+def _self_reach_host(
+    out: np.ndarray, valid: np.ndarray, start: int, max_depth: int
+) -> bool:
+    """Exact host BFS fallback (mirrors DLS semantics, src/cycle_finder.cpp:248)."""
+    frontier = {start}
+    seen: set[int] = set()
+    for _ in range(max_depth):
+        nxt: set[int] = set()
+        for v in frontier:
+            for nb in out[v]:
+                nb = int(nb)
+                if nb < 0 or not valid[nb]:
+                    continue
+                if nb == start:
+                    return True
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.add(nb)
+        if not nxt:
+            return False
+        frontier = nxt
+    return False
+
+
+def select_start_nodes(
+    graph: DBG,
+    threshold_multiplicity: int,
+    cycle_max_length: int,
+    verbose: bool = True,
+) -> dict[int, list[int]]:
+    """Candidate scan + DLS filter; returns {log2-mult bucket: [node ids]}.
+
+    Bucketing matches the reference: key = ceil(log2(multiplicity)),
+    processed in descending order (src/cycle_finder.cpp:414-416,468).
+    """
+    indeg = graph.in_degree()
+    self_loop = jnp.any(graph.out == jnp.arange(graph.size, dtype=jnp.int32)[:, None], axis=1)
+    cand_mask = (
+        graph.valid
+        & (indeg >= 2)
+        & (graph.mult > threshold_multiplicity)
+        & ~self_loop
+    )
+    cand = np.nonzero(np.asarray(cand_mask))[0].astype(np.int32)
+    if verbose:
+        print(f"ChunkStartNodes: {len(cand)} candidates pass the static filter")
+    reach = self_reachable_batch(graph, cand, cycle_max_length)
+    kept = cand[reach]
+    mult = np.asarray(graph.mult)[kept]
+    buckets: dict[int, list[int]] = {}
+    for node, m in zip(kept.tolist(), mult.tolist()):
+        key = int(np.ceil(np.log2(m))) if m > 1 else 0
+        buckets.setdefault(key, []).append(node)
+    if verbose:
+        total = sum(len(v) for v in buckets.values())
+        for key in sorted(buckets, reverse=True):
+            print(
+                f"Chunked start nodes: multiplicity bucket (log2)={key}, "
+                f"nodes={len(buckets[key])}"
+            )
+        print(f"Start nodes found in chunks: {total}")
+    return buckets

@@ -1,0 +1,253 @@
+"""De Bruijn graph as a structure-of-arrays over a sorted k-mer table.
+
+TPU-native replacement for megahit's BOSS-style succinct dBG (consumed API
+catalogued in SURVEY.md §2.2-N2; reference call sites in
+``src/cycle_finder.cpp``, ``src/reads.cpp``, ``src/spacer_ordering.cpp``).
+Instead of rank/select over a wavelet-tree-like structure queried one node
+at a time, we precompute direct adjacency:
+
+* ``kmers``  int64 ``[N]``  — sorted packed 23-mers; node id == rank.
+  Deterministic: independent of thread scheduling, unlike the reference.
+* ``mult``   int32 ``[N]``  — occurrence count of the k-mer in the input
+  (+ reverse-complement strand when enabled, matching megahit's
+  both-strand graph; see ``src/main_run_and_debug.cpp:54-56``).
+* ``out``    int32 ``[N,4]`` — out-neighbor id per appended base, -1 if the
+  (k+1)-mer u·b was never observed. An edge exists iff its (k+1)-mer
+  occurs in the reads — same semantics as megahit's edge set.
+* ``in_``    int32 ``[N,4]`` — in-neighbor id per prepended base.
+* ``valid``  bool ``[N]``   — the IsValidEdge/SetInvalidEdge mask.
+
+Every query is batched (`lookup(kmers) -> ids`, `outgoing(ids) -> [Q,4]`),
+replacing the scalar SDBG API (`IndexBinarySearch`, `OutgoingEdges`, ...)
+with gathers that XLA vectorizes across the VPU lanes.
+
+Degree semantics: ``EdgeOutdegree``/``EdgeIndegree`` count *valid*
+neighbors only, which is what makes the reference's backward tip clipping
+(``CycleFinder::RecursiveReduction``, src/cycle_finder.cpp:359-371)
+actually propagate up dead chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcaat_tpu.io.fastq import decode_kmer
+from mcaat_tpu.kmer.count import SENTINEL, count_unique, extract_kmers
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DBG:
+    k: int
+    kmers: jax.Array  # int64 [N] sorted
+    mult: jax.Array  # int32 [N]
+    out: jax.Array  # int32 [N, 4]
+    in_: jax.Array  # int32 [N, 4]
+    valid: jax.Array  # bool [N]
+
+    # -- pytree plumbing ------------------------------------------------------
+    def tree_flatten(self):
+        return (self.kmers, self.mult, self.out, self.in_, self.valid), (self.k,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], *children)
+
+    # -- basic properties -----------------------------------------------------
+    @property
+    def size(self) -> int:
+        """Number of nodes (== SDBG::size())."""
+        return int(self.kmers.shape[0])
+
+    # -- batched query API ----------------------------------------------------
+    def lookup(self, query_kmers: jax.Array) -> jax.Array:
+        """Packed k-mers -> node ids, -1 for missing (≙ IndexBinarySearch)."""
+        return _lookup(self.kmers, query_kmers)
+
+    def outgoing(self, ids: jax.Array) -> jax.Array:
+        """[Q] -> [Q,4] out-neighbor ids (valid-filtered; -1 elsewhere)."""
+        return _neighbors(self.out, self.valid, ids)
+
+    def incoming(self, ids: jax.Array) -> jax.Array:
+        return _neighbors(self.in_, self.valid, ids)
+
+    def out_degree(self) -> jax.Array:
+        """Valid out-degree of every node, int32 [N]."""
+        return _degree(self.out, self.valid)
+
+    def in_degree(self) -> jax.Array:
+        return _degree(self.in_, self.valid)
+
+    def set_invalid(self, mask: jax.Array) -> "DBG":
+        """Functional SetInvalidEdge over a boolean mask."""
+        return replace(self, valid=self.valid & ~mask)
+
+    def with_valid(self, valid: jax.Array) -> "DBG":
+        return replace(self, valid=valid)
+
+    # -- host-side helpers ----------------------------------------------------
+    def label(self, node_id: int) -> str:
+        """k-mer label of a node (≙ fetch_node_label, src/tmp_utils.cpp:83)."""
+        return decode_kmer(int(np.asarray(self.kmers[node_id])), self.k)
+
+    def to_host(self) -> "HostDBG":
+        return HostDBG(
+            k=self.k,
+            kmers=np.asarray(self.kmers),
+            mult=np.asarray(self.mult),
+            out=np.asarray(self.out),
+            in_=np.asarray(self.in_),
+            valid=np.asarray(self.valid),
+        )
+
+
+@dataclass
+class HostDBG:
+    """Numpy mirror of the graph for the host-side combinatorial stages."""
+
+    k: int
+    kmers: np.ndarray
+    mult: np.ndarray
+    out: np.ndarray
+    in_: np.ndarray
+    valid: np.ndarray
+
+    @property
+    def size(self) -> int:
+        return int(self.kmers.shape[0])
+
+    def label(self, node_id: int) -> str:
+        return decode_kmer(int(self.kmers[node_id]), self.k)
+
+    def outgoing_list(self, node: int) -> list[int]:
+        """Valid out-neighbors of one node (deterministic ascending order)."""
+        nbrs = self.out[node]
+        res = [int(v) for v in nbrs if v >= 0 and self.valid[v]]
+        res.sort()
+        return res
+
+    def incoming_list(self, node: int) -> list[int]:
+        nbrs = self.in_[node]
+        res = [int(v) for v in nbrs if v >= 0 and self.valid[v]]
+        res.sort()
+        return res
+
+
+@jax.jit
+def _lookup(table: jax.Array, query: jax.Array) -> jax.Array:
+    idx = jnp.searchsorted(table, query)
+    idx_c = jnp.minimum(idx, table.shape[0] - 1)
+    found = (idx < table.shape[0]) & (table[idx_c] == query)
+    return jnp.where(found, idx_c, -1).astype(jnp.int32)
+
+
+@jax.jit
+def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
+    ids_c = jnp.maximum(ids, 0)
+    nbrs = adj[ids_c]  # [Q, 4]
+    nbr_ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
+    nbr_ok &= (ids >= 0)[..., None]
+    return jnp.where(nbr_ok, nbrs, -1)
+
+
+@jax.jit
+def _degree(adj: jax.Array, valid: jax.Array) -> jax.Array:
+    ok = (adj >= 0) & valid[jnp.maximum(adj, 0)]
+    return jnp.sum(ok, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def _build_adjacency(kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array):
+    """Scatter unique 24-mers into out/in adjacency over the 23-mer table."""
+    N = kmers23.shape[0]
+    k = 23
+    mask_k = (jnp.int64(1) << jnp.int64(2 * k)) - 1
+    live = jnp.arange(edges24.shape[0]) < n_edges
+
+    u = edges24 >> jnp.int64(2)  # first 23 bases
+    v = edges24 & mask_k  # last 23 bases
+    last = (edges24 & jnp.int64(3)).astype(jnp.int32)
+    first = (edges24 >> jnp.int64(2 * k)).astype(jnp.int32)
+
+    u_id = _lookup(kmers23, u)
+    v_id = _lookup(kmers23, v)
+    ok = live & (u_id >= 0) & (v_id >= 0)
+
+    # Dead lanes scatter to a dump row (index N) that is later dropped.
+    dump = jnp.int32(N)
+    u_rows = jnp.where(ok, u_id, dump)
+    v_rows = jnp.where(ok, v_id, dump)
+
+    out = jnp.full((N + 1, 4), -1, dtype=jnp.int32)
+    in_ = jnp.full((N + 1, 4), -1, dtype=jnp.int32)
+    out = out.at[u_rows, jnp.where(ok, last, 0)].set(jnp.where(ok, v_id, -1))
+    in_ = in_.at[v_rows, jnp.where(ok, first, 0)].set(jnp.where(ok, u_id, -1))
+    return out[:N], in_[:N]
+
+
+def build_dbg(
+    kmers23: np.ndarray | jax.Array,
+    counts23: np.ndarray | jax.Array,
+    edges24: np.ndarray | jax.Array,
+    n_edges: Optional[int] = None,
+    k: int = 23,
+) -> DBG:
+    """Assemble a DBG from a unique sorted 23-mer table and 24-mer edge set."""
+    kmers23 = jnp.asarray(kmers23)
+    counts23 = jnp.asarray(counts23, dtype=jnp.int32)
+    edges24 = jnp.asarray(edges24)
+    if n_edges is None:
+        n_edges = int(edges24.shape[0])
+    out, in_ = _build_adjacency(kmers23, edges24, jnp.asarray(n_edges))
+    valid = jnp.ones((kmers23.shape[0],), dtype=bool)
+    return DBG(k=k, kmers=kmers23, mult=counts23, out=out, in_=in_, valid=valid)
+
+
+def build_dbg_from_reads(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    k: int = 23,
+    add_reverse_complement: bool = True,
+) -> DBG:
+    """End-to-end graph build from a padded read-code matrix.
+
+    Replaces ``SDBGBuild`` (reference ``src/sdbg_build.cpp``): k-mer
+    extraction, counting and adjacency construction, all on device. With
+    ``add_reverse_complement`` the reverse-complement strand of every read
+    is counted too, mirroring megahit's both-strand edge set.
+    """
+    codes_j = jnp.asarray(codes)
+    lengths_j = jnp.asarray(lengths)
+    if add_reverse_complement:
+        codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)
+        codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
+        lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
+
+    km23 = extract_kmers(codes_j, lengths_j, k).reshape(-1)
+    km24 = extract_kmers(codes_j, lengths_j, k + 1).reshape(-1)
+    u23, c23, n23 = count_unique(km23)
+    u24, _, n24 = count_unique(km24)
+    n23_i = int(n23)
+    return build_dbg(u23[:n23_i], c23[:n23_i], u24, n_edges=int(n24), k=k)
+
+
+@jax.jit
+def _reverse_complement_batch(codes: jax.Array, lengths: jax.Array):
+    """Reverse-complement padded 2-bit code rows (pad stays at the tail)."""
+    R, L = codes.shape
+    comp = (3 - codes.astype(jnp.int32)).astype(jnp.uint8)
+    rev = comp[:, ::-1]
+    # After reversal, each row's live bases sit at the tail; roll them to
+    # the front by each row's pad amount.
+    shift = L - lengths
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    src = col + shift[:, None]
+    src_c = jnp.minimum(src, L - 1)
+    rolled = jnp.take_along_axis(rev, src_c, axis=1)
+    live = col < lengths[:, None]
+    return jnp.where(live, rolled, 0).astype(jnp.uint8), lengths

@@ -1,0 +1,79 @@
+"""Device-side k-mer extraction and counting.
+
+TPU-native replacement for megahit's CX1 k-mer sorting pipeline
+(``Read2SdbgS1``/``Read2SdbgS2`` driven from the reference
+``src/sdbg_build.cpp:122-190``): k-mers are packed into int64 lanes
+(k=23 → 46 bits, k+1=24 → 48 bits), sorted with XLA's sort, and reduced to
+a unique sorted table + multiplicities with a segment reduce. The solid
+threshold is m=1 (keep everything), matching the reference's hardcoded
+``"-m","1"`` (``src/sdbg_build.cpp:216``).
+
+All shapes are static: reads come in as a padded ``[R, Lmax]`` code matrix,
+invalid window positions are masked to a sentinel that sorts last.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SENTINEL = jnp.iinfo(jnp.int64).max
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+    """All k-mer windows of each read, packed big-endian into int64.
+
+    Returns ``[R, Lmax - k + 1]`` int64; windows that fall past a read's
+    length are set to SENTINEL.
+    """
+    codes = codes.astype(jnp.int64)
+    R, L = codes.shape
+    W = L - k + 1
+
+    def body(t, acc):
+        return (acc << 2) | jax.lax.dynamic_slice(codes, (0, t), (R, W))
+
+    kmers = jax.lax.fori_loop(0, k, body, jnp.zeros((R, W), jnp.int64))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    valid = pos + k <= lengths[:, None]
+    return jnp.where(valid, kmers, SENTINEL)
+
+
+@jax.jit
+def count_unique(kmers_flat: jax.Array):
+    """Sort + segment-reduce: unique sorted values and their counts.
+
+    Returns ``(unique_sorted, counts, n_unique)`` with static shapes
+    (padded with SENTINEL / 0); ``n_unique`` is the number of live entries.
+    """
+    s = jnp.sort(kmers_flat)
+    n = s.shape[0]
+    is_head = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    is_head &= s != SENTINEL
+    # Each unique value's count = (index of next head) - (index of this head).
+    head_idx = jnp.nonzero(is_head, size=n, fill_value=n)[0]
+    n_unique = jnp.sum(is_head)
+    next_head = jnp.concatenate([head_idx[1:], jnp.array([n])])
+    # Entries at/after n_unique are padding: head_idx==n there.
+    first_sentinel = jnp.searchsorted(s, SENTINEL)
+    counts = jnp.where(
+        jnp.arange(n) < n_unique,
+        jnp.minimum(next_head, first_sentinel) - head_idx,
+        0,
+    ).astype(jnp.int32)
+    unique = jnp.where(jnp.arange(n) < n_unique, s[jnp.minimum(head_idx, n - 1)], SENTINEL)
+    return unique, counts, n_unique
+
+
+def count_kmers_for_reads(
+    codes: np.ndarray, lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-facing: unique sorted k-mers + counts for a read batch."""
+    kmers = extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+    unique, counts, n_unique = count_unique(kmers.reshape(-1))
+    n = int(n_unique)
+    return np.asarray(unique[:n]), np.asarray(counts[:n])

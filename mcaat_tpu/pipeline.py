@@ -1,0 +1,265 @@
+"""End-to-end pipeline orchestration.
+
+The analog of the reference's release ``main()``
+(``src/main.cpp:496-591``) and the STEP 6-8 wrappers
+(``src/main_run_and_debug.cpp``): graph build → cycle finding → read
+mapping → spacer ordering → systems → report. Heavy stages run on device
+(see the per-module docstrings); this file is control flow only.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mcaat_tpu.cycles.finder import cycles_map_to_cycles, find_cycles
+from mcaat_tpu.evaluation import (
+    get_most_similar_sequence,
+    get_number_of_duplicate_spacers,
+    get_string_similarity,
+)
+from mcaat_tpu.graph.dbg import DBG, build_dbg_from_reads
+from mcaat_tpu.io.fastq import encode_sequences, read_sequences
+from mcaat_tpu.ordering.ordering import (
+    get_crispr_regions_extended_by_k,
+    get_minimum_cycles_for_full_coverage,
+    get_ordered_cycles,
+    get_relevant_cycles,
+    get_relevant_reads,
+    order_cycles,
+)
+from mcaat_tpu.reads.mapper import get_reads
+from mcaat_tpu.report.analyzer import CRISPRAnalyzer
+from mcaat_tpu.settings import Settings
+from mcaat_tpu.systems.extract import get_systems
+
+
+@dataclass
+class FoundSystem:
+    """≙ the reference's found_systems tuple (main_run_and_debug.cpp:123-129)."""
+
+    full_sequence: str
+    repeat: str
+    spacers: list[str]
+    confidence_cycle_resolution: float
+    confidence_topological_sort: float
+
+
+@dataclass
+class PipelineResult:
+    graph: DBG | None = None
+    cycles_map: dict[int, list[list[int]]] = field(default_factory=dict)
+    cycles: list[list[int]] = field(default_factory=list)
+    reads: list[list[int]] = field(default_factory=list)
+    found_systems: list[FoundSystem] = field(default_factory=list)
+    report_text: str = ""
+
+
+def build_graph_from_settings(settings: Settings) -> DBG:
+    """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp)."""
+    sequences: list[str] = []
+    for path in settings.input_file_list():
+        sequences.extend(read_sequences(path))
+    if not sequences:
+        raise RuntimeError("No sequences found in input files")
+    batch = encode_sequences(sequences)
+    return build_dbg_from_reads(
+        batch.codes,
+        batch.lengths,
+        k=23,
+        add_reverse_complement=settings.add_reverse_complement,
+    )
+
+
+def spacer_ordering_step(
+    graph: DBG,
+    reads: list[list[int]],
+    cycles: list[list[int]],
+    verbose: bool = True,
+) -> tuple[DBG, list[FoundSystem]]:
+    """STEP 7 (≙ run_and_debug_spacer_ordering, main_run_and_debug.cpp:32-140)."""
+    found_systems: list[FoundSystem] = []
+    if not reads:
+        return graph, found_systems
+    read_chain_len = len(reads[0])
+    if verbose:
+        print("  ▸ Splitting into subproblems")
+    graph, subgraphs = get_crispr_regions_extended_by_k(graph, read_chain_len, cycles)
+
+    if verbose:
+        print("  🔄 Filtering subproblems:")
+    remaining = []
+    for sg in subgraphs:
+        relevant_reads = get_relevant_reads(sg, reads)
+        relevant_cycles = get_relevant_cycles(sg, cycles)
+        relevant_cycles = get_minimum_cycles_for_full_coverage(relevant_cycles)
+        # megahit-style RC component is discarded by having no relevant
+        # reads (main_run_and_debug.cpp:54-59)
+        if len(relevant_reads) == 0 or len(relevant_cycles) < 3:
+            continue
+        remaining.append((sg, relevant_reads, relevant_cycles))
+    if verbose:
+        print(
+            f"  ✅ Filtered out {len(subgraphs) - len(remaining)}/"
+            f"{len(subgraphs)} subproblems"
+        )
+        print(f"  🔄 Solving {len(remaining)} subproblems...")
+
+    host_graph = graph.to_host()
+    for idx, (sg, relevant_reads, relevant_cycles) in enumerate(remaining):
+        if verbose:
+            print(f"    Subproblem {idx + 1}/{len(remaining)}:")
+            print(
+                f"      🛈 Graph with {len(sg.nodes)} nodes and "
+                f"{sg.edge_count()} edges"
+            )
+            print(f"      🛈 Reads with {len(relevant_reads)}/{len(reads)} used")
+            print(f"      🛈 Cycles with {len(relevant_cycles)} used")
+        cycle_order, conf_res, conf_topo = order_cycles(
+            relevant_reads, relevant_cycles, verbose=verbose
+        )
+        if verbose:
+            print(f"      ▸ The order is {' '.join(map(str, cycle_order))}")
+            print(
+                f"      ▸ Cycles were resolved with a confidence of "
+                f"{conf_res * 100:.2f}%"
+            )
+            print(f"      ▸ Topological sort has a confidence of {conf_topo * 100:.2f}%")
+        ordered_cycles = get_ordered_cycles(cycle_order, relevant_cycles)
+        if len(ordered_cycles) < 2:
+            if verbose:
+                print("      ▸ Node order is too short and is not processed further")
+            continue
+        repeat, spacers, full_sequence = get_systems(host_graph, ordered_cycles)
+        if verbose:
+            print(f"        ▸ Number of spacers: {len(spacers)}")
+        found_systems.append(
+            FoundSystem(full_sequence, repeat, spacers, conf_res, conf_topo)
+        )
+    if verbose:
+        print("  ✅ Completed each subproblem")
+    return graph, found_systems
+
+
+def benchmark_results(settings: Settings, found_systems: list[FoundSystem]) -> None:
+    """STEP 8, benchmark mode (≙ main_run_and_debug.cpp:142-212)."""
+    benchmark_sequences = []
+    try:
+        with open(settings.benchmark_file) as fh:
+            benchmark_sequences = [line.strip() for line in fh if line.strip()]
+        print(f"Loaded {len(benchmark_sequences)} benchmark sequences.")
+    except OSError:
+        print(f"Error: Could not open benchmark file: {settings.benchmark_file}")
+
+    print(
+        f"  ▸ {len(found_systems)} crispr sequences are found and benchmarked "
+        f"using {len(benchmark_sequences)} sequences"
+    )
+    no_match = 0
+    avg_sim = 0.0
+    for fs in found_systems:
+        expected = get_most_similar_sequence(fs.full_sequence, benchmark_sequences)
+        if expected == "":
+            print(f"    ▸ No expected match for sequence: {fs.full_sequence}")
+            no_match += 1
+            continue
+        sim = get_string_similarity(fs.full_sequence, expected)
+        dups = get_number_of_duplicate_spacers(fs.spacers, expected)
+        print(
+            f"    ▸ ≥{sim * 100:.2f}% sequence similarity, with "
+            f"{len(fs.spacers)} spacers, {dups} duplicate spacers, "
+            f"confidence of cycle resolution: "
+            f"{fs.confidence_cycle_resolution * 100:.2f}%, confidence of "
+            f"topological sort: {fs.confidence_topological_sort * 100:.2f}%, "
+            f"and the repeat: {fs.repeat}, and sequence: {fs.full_sequence}"
+        )
+        avg_sim += sim
+    denom = len(found_systems) - no_match
+    if denom > 0:
+        avg_sim /= denom
+    print(
+        f"  ▸ The average sequence similarity is {avg_sim * 100:.2f}% with "
+        f"{no_match}/{len(found_systems)} ignored"
+    )
+
+
+def print_results(found_systems: list[FoundSystem]) -> None:
+    """STEP 8, confidence-graded summary (≙ main_run_and_debug.cpp:214-258)."""
+    counts = {"🔴": 0, "🟠": 0, "🟡": 0, "🟢": 0}
+    for fs in found_systems:
+        if (
+            len(fs.repeat) <= 23
+            or fs.confidence_cycle_resolution < 0.5
+            or fs.confidence_topological_sort < 0.5
+        ):
+            grade = "🔴"
+        elif fs.confidence_cycle_resolution < 0.75 or fs.confidence_topological_sort < 0.75:
+            grade = "🟠"
+        elif fs.confidence_cycle_resolution < 0.85 or fs.confidence_topological_sort < 0.85:
+            grade = "🟡"
+        else:
+            grade = "🟢"
+        counts[grade] += 1
+        print(f"  {grade} repeat: {fs.repeat}, sequence: {fs.full_sequence}")
+    total = sum(counts.values())
+    print(
+        f"  ▸ {len(found_systems)} CRISPR Arrays were found with "
+        f"🔴 ({counts['🔴']}/{total}), 🟠 ({counts['🟠']}/{total}), "
+        f"🟡 ({counts['🟡']}/{total}), 🟢 ({counts['🟢']}/{total})"
+    )
+
+
+def run_pipeline(settings: Settings, verbose: bool = True) -> PipelineResult:
+    """Full release pipeline (≙ src/main.cpp:496-591)."""
+    result = PipelineResult()
+    t0 = time.time()
+
+    graph = build_graph_from_settings(settings)
+    result.graph = graph
+    if verbose:
+        print(f"Graph built: {graph.size} nodes ({time.time() - t0:.2f}s)")
+
+    cfs = settings.cycle_finder_settings
+    graph, cycles_map = find_cycles(
+        graph,
+        threshold_multiplicity=cfs.threshold_multiplicity,
+        cycle_min_length=cfs.cycle_min_length,
+        cycle_max_length=cfs.cycle_max_length,
+        verbose=verbose,
+    )
+    result.cycles_map = cycles_map
+    result.cycles = cycles_map_to_cycles(cycles_map)
+    if verbose:
+        print(f"Number of nodes in results: {len(cycles_map)}")
+        print("🔸STEP 6: Finding relevant reads")
+
+    f1, f2 = settings.fastq_files()
+    reads = get_reads(graph, f1, f2, result.cycles)
+    result.reads = reads
+    if verbose:
+        print(f"    ▸ Found {len(reads)} reads")
+        print("🔸STEP 7: Order the spacers")
+
+    graph, found_systems = spacer_ordering_step(graph, reads, result.cycles, verbose)
+    result.graph = graph
+    result.found_systems = found_systems
+
+    if settings.benchmark_file:
+        if verbose:
+            print("🔸STEP 8: Compare to ground of truth using benchmark file")
+        benchmark_results(settings, found_systems)
+    elif verbose:
+        print("🔸STEP 8: Results")
+        print_results(found_systems)
+
+    all_systems: dict[str, list[str]] = {}
+    for fs in found_systems:
+        all_systems[fs.repeat] = fs.spacers
+    analyzer = CRISPRAnalyzer(all_systems, settings.output_file or "CRISPR_Arrays.txt")
+    result.report_text = analyzer.run_analysis()
+    if verbose:
+        print(f"Saved in: {analyzer.output_path}")
+        print(f"Total time: {time.time() - t0:.2f}s")
+    return result

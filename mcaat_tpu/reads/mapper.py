@@ -1,0 +1,94 @@
+"""Read → node-chain mapping.
+
+Replaces reference ``src/reads.cpp:33-130``: every k-mer window of every
+read is mapped to a node id in one batched device lookup (vectorized
+binary search over the sorted k-mer table), instead of a scalar
+``IndexBinarySearch`` per window. A read is kept iff its *first or last*
+window's node is in the cycle-node set (src/reads.cpp:74-76); a kept read
+is its full chain of node ids, including misses (-1), mirroring the
+reference which stores whatever IndexBinarySearch returns.
+
+Reads with ``len(seq) <= 2k`` are skipped (src/reads.cpp:64-66).
+Mate-2 sequences are reverse-complemented before mapping
+(src/reads.cpp:116-127).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcaat_tpu.graph.dbg import DBG
+from mcaat_tpu.io.fastq import ReadBatch, encode_sequences, read_sequences, reverse_complement
+from mcaat_tpu.kmer.count import extract_kmers
+
+
+def map_reads_to_nodes(graph: DBG, batch: ReadBatch) -> tuple[np.ndarray, np.ndarray]:
+    """All window node-ids per read: ``ids[R, W]`` int32 (-1 miss), lengths.
+
+    ``n_windows[i] = lengths[i] - k + 1`` live windows per read.
+    """
+    if batch.num_reads == 0 or batch.max_len < graph.k:
+        return (
+            np.zeros((batch.num_reads, 0), dtype=np.int32),
+            np.zeros((batch.num_reads,), dtype=np.int32),
+        )
+    kmers = extract_kmers(jnp.asarray(batch.codes), jnp.asarray(batch.lengths), graph.k)
+    ids = graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)
+    n_windows = np.maximum(np.asarray(batch.lengths) - graph.k + 1, 0).astype(np.int32)
+    return np.asarray(ids), n_windows
+
+
+def chains_from_ids(
+    ids: np.ndarray,
+    n_windows: np.ndarray,
+    lengths: np.ndarray,
+    k: int,
+    cycle_nodes: set[int],
+) -> list[list[int]]:
+    """Filter + materialize node chains (≙ get_read_from_sequence)."""
+    chains: list[list[int]] = []
+    for r in range(ids.shape[0]):
+        if int(lengths[r]) <= 2 * k:
+            continue
+        w = int(n_windows[r])
+        if w <= 0:
+            continue
+        first = int(ids[r, 0])
+        last = int(ids[r, w - 1])
+        if first not in cycle_nodes and last not in cycle_nodes:
+            continue
+        chains.append([int(x) for x in ids[r, :w]])
+    return chains
+
+
+def get_reads(
+    graph: DBG,
+    fastq_file_1: str,
+    fastq_file_2: Optional[str],
+    cycles: list[list[int]],
+) -> list[list[int]]:
+    """≙ reference ``get_reads`` (src/reads.cpp:91-130)."""
+    cycle_nodes: set[int] = set()
+    for cycle in cycles:
+        cycle_nodes.update(int(n) for n in cycle)
+
+    chains: list[list[int]] = []
+    seqs = read_sequences(fastq_file_1)
+    chains.extend(_map_sequences(graph, seqs, cycle_nodes))
+    if fastq_file_2:
+        seqs2 = [reverse_complement(s) for s in read_sequences(fastq_file_2)]
+        chains.extend(_map_sequences(graph, seqs2, cycle_nodes))
+    return chains
+
+
+def _map_sequences(
+    graph: DBG, sequences: list[str], cycle_nodes: set[int]
+) -> list[list[int]]:
+    if not sequences:
+        return []
+    batch = encode_sequences(sequences)
+    ids, n_windows = map_reads_to_nodes(graph, batch)
+    return chains_from_ids(ids, n_windows, batch.lengths, graph.k, cycle_nodes)

@@ -1,0 +1,157 @@
+"""Cycle search tests: batched DLS vs host BFS, enumeration vs a naive
+bounded simple-cycle enumerator (SURVEY §4 strategy)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mcaat_tpu.cycles.finder import CycleFinder, find_cycles
+from mcaat_tpu.cycles.start_nodes import select_start_nodes, self_reachable_batch
+from tests.test_prune import make_graph
+
+
+def naive_bounded_cycles_through(out, valid, start, min_len, max_len):
+    """All simple cycles through start with min_len < len <= max_len."""
+    cycles = []
+
+    def dfs(node, path):
+        for nb in sorted(int(x) for x in out[node] if x >= 0):
+            if not valid[nb]:
+                continue
+            if nb == start:
+                if min_len < len(path) <= max_len:
+                    cycles.append(list(path))
+            elif nb not in path and len(path) < max_len:
+                path.append(nb)
+                dfs(nb, path)
+                path.pop()
+
+    dfs(start, [start])
+    return {tuple(c) for c in cycles}
+
+
+def two_loop_graph():
+    # node 0 is shared by two loops: 0..5..0 (len 6) and 0,10..14,0 (len 6)
+    edges = {0: [1, 10]}
+    for i in range(1, 5):
+        edges[i] = [i + 1]
+    edges[5] = [0]
+    for i in range(10, 14):
+        edges[i] = [i + 1]
+    edges[14] = [0]
+    return make_graph(edges, 15, mult=[100] + [30] * 14)
+
+
+def test_self_reachable_batch_matches_truth():
+    g = two_loop_graph()
+    starts = np.arange(15, dtype=np.int32)
+    reach = self_reachable_batch(g, starts, max_depth=10)
+    on_loop = np.zeros(15, bool)
+    on_loop[0:6] = True
+    on_loop[10:15] = True  # nodes 6-9 are isolated
+    assert (reach == on_loop).all()
+    reach_short = self_reachable_batch(g, starts, max_depth=5)
+    assert not reach_short.any()  # loops have length 6 > 5
+
+
+def test_self_reachable_respects_validity():
+    g = two_loop_graph()
+    g = g.set_invalid(np.arange(15) == 3)  # break first loop
+    reach = self_reachable_batch(g, np.array([0], dtype=np.int32), max_depth=10)
+    assert reach[0]  # second loop still closes
+    g = g.set_invalid(np.arange(15) == 12)  # break second loop too
+    reach = self_reachable_batch(g, np.array([0], dtype=np.int32), max_depth=10)
+    assert not reach[0]
+
+
+def test_select_start_nodes_predicate():
+    g = two_loop_graph()
+    # only node 0 has indeg 2 and mult 100 > 20
+    buckets = select_start_nodes(g, threshold_multiplicity=20, cycle_max_length=10,
+                                 verbose=False)
+    all_nodes = [n for v in buckets.values() for n in v]
+    assert all_nodes == [0]
+
+
+def test_select_start_nodes_rejects_self_loop():
+    edges = {0: [0, 1], 1: [2], 2: [0]}
+    g = make_graph(edges, 3, mult=[100, 50, 50])
+    buckets = select_start_nodes(g, 20, 10, verbose=False)
+    assert [n for v in buckets.values() for n in v] == []
+
+
+def test_enumeration_matches_naive():
+    g = two_loop_graph()
+    out = np.asarray(g.out)
+    valid = np.asarray(g.valid)
+    finder = CycleFinder(
+        out=out,
+        in_=np.asarray(g.in_),
+        valid=valid,
+        mult=np.asarray(g.mult),
+        cycle_min_length=3,
+        cycle_max_length=10,
+    )
+    cycles = finder.find_cycles_from(0)
+    got = {tuple(c) for c in cycles}
+    expected = naive_bounded_cycles_through(out, valid, 0, 3, 10)
+    assert expected <= got  # every bounded simple cycle is found
+    # and every found cycle is a real cycle within bounds
+    for c in got:
+        assert 3 < len(c) <= 10
+        for a, b in zip(c, list(c[1:]) + [c[0]]):
+            assert b in out[a]
+
+
+def test_enumeration_min_length_excludes():
+    g = two_loop_graph()
+    finder = CycleFinder(
+        out=np.asarray(g.out),
+        in_=np.asarray(g.in_),
+        valid=np.asarray(g.valid),
+        mult=np.asarray(g.mult),
+        cycle_min_length=6,  # cycles have exactly 6 nodes; need > 6 -> none
+        cycle_max_length=10,
+    )
+    assert finder.find_cycles_from(0) == []
+
+
+def test_visited_suppression():
+    g = two_loop_graph()
+    finder = CycleFinder(
+        out=np.asarray(g.out),
+        in_=np.asarray(g.in_),
+        valid=np.asarray(g.valid),
+        mult=np.asarray(g.mult),
+        cycle_min_length=3,
+        cycle_max_length=10,
+    )
+    buckets = {5: [0], 4: [1]}  # node 1 in a lower bucket
+    results = finder.enumerate(buckets, verbose=False)
+    assert 0 in results and len(results[0]) >= 2
+    assert 1 not in results  # suppressed: node 1 was on node 0's cycles
+
+
+def test_mult_ratio_filter():
+    # neighbor with tiny multiplicity is filtered (start_mult // nb_mult > 500)
+    edges = {0: [1], 1: [2], 2: [0]}
+    g = make_graph(edges, 3, mult=[100000, 100, 100])
+    finder = CycleFinder(
+        out=np.asarray(g.out),
+        in_=np.asarray(g.in_),
+        valid=np.asarray(g.valid),
+        mult=np.asarray(g.mult),
+        cycle_min_length=1,
+        cycle_max_length=10,
+    )
+    assert finder.find_cycles_from(0) == []  # 100000 // 100 = 1000 > 500
+
+    g2 = make_graph(edges, 3, mult=[1000, 100, 100])
+    finder2 = CycleFinder(
+        out=np.asarray(g2.out),
+        in_=np.asarray(g2.in_),
+        valid=np.asarray(g2.valid),
+        mult=np.asarray(g2.mult),
+        cycle_min_length=1,
+        cycle_max_length=10,
+    )
+    assert len(finder2.find_cycles_from(0)) >= 1

@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests on synthetic metagenomes with planted
+CRISPR arrays (BASELINE.json configs 1-2)."""
+
+import numpy as np
+import pytest
+
+from mcaat_tpu.pipeline import run_pipeline
+from mcaat_tpu.settings import Settings
+from tests.synthetic import make_metagenome, write_fasta, write_fastq
+
+
+def run_on(tmp_path, meta, paired=False, **settings_kw):
+    reads = meta["reads"]
+    s = Settings(**settings_kw)
+    if paired:
+        from mcaat_tpu.io.fastq import reverse_complement
+
+        half = len(reads) // 2
+        f1 = tmp_path / "r1.fq"
+        f2 = tmp_path / "r2.fq"
+        write_fastq(str(f1), reads[:half])
+        # mate-2 is stored reverse-complemented; the pipeline flips it back
+        write_fastq(str(f2), [reverse_complement(r) for r in reads[half:]])
+        s.input_files = f"{f1} {f2}"
+    else:
+        f1 = tmp_path / "r.fq"
+        write_fastq(str(f1), reads)
+        s.input_files = str(f1)
+    s.output_file = str(tmp_path / "CRISPR_Arrays.txt")
+    return run_pipeline(s, verbose=False)
+
+
+def spacers_found(result, planted_spacers):
+    """Fraction of planted spacers whose core appears in the report.
+
+    The filter cascade legitimately trims spacer edges (common
+    prefix/suffix k-mers are reassigned to the repeat), so match on the
+    spacer core, either strand.
+    """
+    from mcaat_tpu.io.fastq import reverse_complement
+
+    text = result.report_text
+    hits = 0
+    for sp in planted_spacers:
+        core = sp[6:-6]
+        if core in text or reverse_complement(core) in text:
+            hits += 1
+    return hits / len(planted_spacers)
+
+
+@pytest.mark.slow
+def test_single_array_detected(tmp_path):
+    meta = make_metagenome(seed=3, n_arrays=1, n_spacers=6, coverage=40.0)
+    result = run_on(tmp_path, meta)
+    planted = meta["arrays"][0]
+    assert len(result.cycles) > 0, "no cycles found in the dBG"
+    assert len(result.found_systems) >= 1, "no CRISPR system reconstructed"
+    # the consensus repeat must match the planted repeat (some systems may
+    # be the reverse-complement strand)
+    assert spacers_found(result, planted["spacers"]) >= 0.5
+    assert "Number of Systems: 0" not in result.report_text
+
+
+@pytest.mark.slow
+def test_paired_end_detected(tmp_path):
+    meta = make_metagenome(seed=11, n_arrays=1, n_spacers=5, coverage=50.0)
+    result = run_on(tmp_path, meta, paired=True)
+    assert len(result.found_systems) >= 1
+    assert spacers_found(result, meta["arrays"][0]["spacers"]) >= 0.5
+
+
+@pytest.mark.slow
+def test_no_array_in_pure_background(tmp_path):
+    rng = np.random.default_rng(5)
+    from tests.synthetic import random_seq, sample_reads
+
+    bg = random_seq(rng, 3000)
+    reads = sample_reads(rng, bg, read_len=100, coverage=10.0)
+    result = run_on(tmp_path, {"reads": reads, "arrays": []})
+    assert result.found_systems == []
+    assert "Number of Systems: 0" in result.report_text
+
+
+@pytest.mark.slow
+def test_two_arrays_detected(tmp_path):
+    meta = make_metagenome(seed=21, n_arrays=2, n_spacers=5, coverage=40.0)
+    result = run_on(tmp_path, meta)
+    all_spacers = [sp for a in meta["arrays"] for sp in a["spacers"]]
+    assert len(result.found_systems) >= 2
+    assert spacers_found(result, all_spacers) >= 0.5

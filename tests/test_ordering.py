@@ -1,0 +1,178 @@
+"""Spacer-ordering tests. The set-cover cases mirror the reference's unit
+tests (tests/test_spacer_ordering.cpp:11-107); the rest cover SCC,
+constraints, MST, and the heuristic toposort."""
+
+import numpy as np
+
+from mcaat_tpu.ordering.ordering import (
+    NOT_IN_ANY_CYCLE_INDEX,
+    Subgraph,
+    divide_graph_into_subgraphs,
+    every_possible_combination,
+    find_strongly_connected_components,
+    generate_constraints_from_read,
+    generate_out_of_cycles_constraints_from_read,
+    get_maximal_spanning_tree,
+    get_minimum_cycles_for_full_coverage,
+    get_node_to_unique_cycle_map,
+    get_ordered_cycles,
+    order_cycles,
+    solve_min_cover_problem,
+)
+
+
+# ---- set cover (parity with tests/test_spacer_ordering.cpp) ---------------
+
+
+def test_min_cover_empty():
+    assert solve_min_cover_problem(set(), []) == []
+    assert solve_min_cover_problem({0, 1}, []) == []
+
+
+def test_min_cover_singleton():
+    assert solve_min_cover_problem({0}, [[0]]) == [0]
+
+
+def test_min_cover_optimal_two():
+    universe = {0, 1, 2, 3}
+    sets = [[0, 1], [2, 3], [0], [1], [2]]
+    result = solve_min_cover_problem(universe, sets)
+    covered = set()
+    for i in result:
+        covered.update(sets[i])
+    assert covered == universe
+    assert len(result) == 2
+
+
+def test_min_cover_redundant_supersets():
+    universe = {0, 1, 2}
+    sets = [[0, 1, 2], [0, 1], [1, 2], [0]]
+    result = solve_min_cover_problem(universe, sets)
+    assert result == [0]
+
+
+def test_min_cover_complex_overlap():
+    universe = set(range(6))
+    sets = [[0, 1, 2], [2, 3], [3, 4, 5], [0, 5], [1, 4]]
+    result = solve_min_cover_problem(universe, sets)
+    covered = set()
+    for i in result:
+        covered.update(sets[i])
+    assert covered == universe
+    assert len(result) <= 3
+
+
+def test_minimum_cycles_for_full_coverage_dedups():
+    cycles = [[1, 2, 3], [1, 2, 3], [4, 5]]
+    kept = get_minimum_cycles_for_full_coverage(cycles)
+    assert len(kept) == 2
+    assert [4, 5] in kept
+
+
+# ---- SCC ------------------------------------------------------------------
+
+
+def adj_matrix(edges: dict[int, list[int]], n: int) -> np.ndarray:
+    out = np.full((n, 4), -1, dtype=np.int32)
+    for u, vs in edges.items():
+        for i, v in enumerate(vs):
+            out[u, i] = v
+    return out
+
+
+def test_scc_two_components():
+    # two 3-cycles joined by a one-way bridge + a stray path node
+    edges = {0: [1], 1: [2], 2: [0, 3], 3: [4], 4: [5], 5: [3], 6: [0]}
+    out = adj_matrix(edges, 7)
+    valid = np.ones(7, bool)
+    comps = find_strongly_connected_components(out, valid)
+    comp_sets = sorted(tuple(sorted(c)) for c in comps)
+    assert comp_sets == [(0, 1, 2), (3, 4, 5)]
+
+
+def test_scc_respects_validity():
+    edges = {0: [1], 1: [2], 2: [0]}
+    out = adj_matrix(edges, 3)
+    valid = np.array([True, False, True])
+    comps = find_strongly_connected_components(out, valid)
+    assert comps == []
+
+
+def test_divide_graph_into_subgraphs():
+    edges = {0: [1], 1: [2], 2: [0, 3], 3: [4], 4: [5], 5: [3]}
+    out = adj_matrix(edges, 6)
+    sgs = divide_graph_into_subgraphs(out, np.ones(6, bool))
+    assert len(sgs) == 2
+    node_sets = sorted(tuple(sorted(sg.nodes)) for sg in sgs)
+    assert node_sets == [(0, 1, 2), (3, 4, 5)]
+    for sg in sgs:
+        # bridge edge 2->3 must not be present
+        assert all(v in sg.nodes for vs in sg.adjacency.values() for v in vs)
+
+
+# ---- constraints ----------------------------------------------------------
+
+
+def test_every_possible_combination_unmerged_quirk():
+    # the reference feeds the unmerged list -> repeated pairs act as weights
+    v = [0, 0, 1]
+    assert every_possible_combination(v) == [(0, 1), (0, 1)]
+
+
+def test_generate_constraints_from_read():
+    n2c = {10: 0, 11: 0, 20: 1, 30: 2}
+    read = [10, 11, 99, 20, 30]
+    cons = generate_constraints_from_read(read, n2c)
+    assert cons.count((0, 1)) == 2
+    assert cons.count((0, 2)) == 2
+    assert cons.count((1, 2)) == 1
+
+
+def test_out_of_cycles_constraints():
+    n2c = {10: 0, 20: 1}
+    # read starts and ends on mapped nodes -> first merged transition only
+    read = [10, 99, 20]
+    cons = generate_out_of_cycles_constraints_from_read(read, n2c)
+    assert cons == [(0, NOT_IN_ANY_CYCLE_INDEX)]
+    # read not anchored at both ends -> nothing
+    assert generate_out_of_cycles_constraints_from_read([99, 10, 20], n2c) == []
+
+
+def test_node_to_unique_cycle_map():
+    cycles = [[1, 2, 3], [3, 4, 5]]
+    m = get_node_to_unique_cycle_map(cycles)
+    assert m == {1: 0, 2: 0, 4: 1, 5: 1}  # 3 is shared -> excluded
+
+
+# ---- MST + toposort -------------------------------------------------------
+
+
+def test_maximal_spanning_tree_prefers_heavy_edges():
+    edges = [(0, 1)] * 3 + [(1, 2)] * 2 + [(2, 0)] * 1
+    mst = get_maximal_spanning_tree(edges)
+    assert set(mst) == {(0, 1), (1, 2)}
+
+
+def test_order_cycles_linear_chain():
+    # three cycles with unique nodes 1xx, 2xx, 3xx; reads traverse 0->1->2
+    cycles = [[100, 101], [200, 201], [300, 301]]
+    reads = [
+        [100, 101, 200],
+        [101, 200, 201],
+        [200, 201, 300],
+        [201, 300, 301],
+        [100, 200, 300],
+    ]
+    order, conf_res, conf_topo = order_cycles(reads, cycles, verbose=False)
+    assert order == [0, 1, 2]
+    assert 0.0 <= conf_res <= 1.0
+    assert 0.0 <= conf_topo <= 1.0
+    ordered = get_ordered_cycles(order, cycles)
+    assert ordered == cycles
+
+
+def test_order_cycles_reversed_reads():
+    cycles = [[100], [200], [300]]
+    reads = [[300, 200], [200, 100], [300, 200, 100]]
+    order, _, _ = order_cycles(reads, cycles, verbose=False)
+    assert order == [2, 1, 0]
