@@ -22,9 +22,20 @@ tool MCAAT (Purpurax/mcaat, C++/OpenMP), re-architected TPU-first:
 code keeps node ids and adjacency in int32 so hot paths stay 32-bit.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: pipeline stages recompile per dataset shape;
+# caching makes repeat runs start hot. Override dir via MCAAT_CACHE_DIR.
+_cache_dir = os.environ.get(
+    "MCAAT_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "mcaat_tpu_jax")
+)
+if _cache_dir != "disabled":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 __version__ = "0.1.0"
 

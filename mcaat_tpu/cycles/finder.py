@@ -203,15 +203,38 @@ def find_cycles(
     buckets = select_start_nodes(
         graph, threshold_multiplicity, cycle_max_length, verbose=verbose
     )
-    finder = CycleFinder(
-        out=np.asarray(graph.out),
-        in_=np.asarray(graph.in_),
-        valid=np.asarray(graph.valid),
-        mult=np.asarray(graph.mult),
-        cycle_min_length=cycle_min_length,
-        cycle_max_length=cycle_max_length,
-    )
-    results = finder.enumerate(buckets, verbose=verbose)
+    out = np.asarray(graph.out)
+    in_ = np.asarray(graph.in_)
+    valid = np.asarray(graph.valid)
+    mult = np.asarray(graph.mult)
+
+    # native fast path (same deterministic order and semantics)
+    try:
+        from mcaat_tpu.native import enumerate_cycles as native_enumerate
+
+        ordered_starts = [
+            s for key in sorted(buckets, reverse=True) for s in sorted(buckets[key])
+        ]
+        results = native_enumerate(
+            out, in_, valid, mult,
+            np.asarray(ordered_starts, dtype=np.int64),
+            cycle_min_length, cycle_max_length,
+        )
+    except ImportError:
+        results = None
+    if results is None:
+        finder = CycleFinder(
+            out=out, in_=in_, valid=valid, mult=mult,
+            cycle_min_length=cycle_min_length,
+            cycle_max_length=cycle_max_length,
+        )
+        results = finder.enumerate(buckets, verbose=verbose)
+    elif verbose:
+        total = sum(len(c) for c in results.values())
+        print(
+            f"Cycle enumeration completed (native): total cycles={total}, "
+            f"result nodes={len(results)}"
+        )
     return graph, results
 
 

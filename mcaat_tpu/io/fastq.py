@@ -144,6 +144,36 @@ def encode_sequences(
     return ReadBatch(codes=codes, lengths=np.minimum(lengths, max_len))
 
 
+def read_encoded_batch(path: str) -> ReadBatch:
+    """Parse a FASTA/FASTQ(.gz) file directly into a ReadBatch.
+
+    Fast path: the native C++ parser fills the padded 2-bit matrix without
+    materializing Python strings. Falls back to the Python parser.
+    """
+    try:
+        from mcaat_tpu.native import parse_fastx_batch
+
+        res = parse_fastx_batch(path)
+        if res is not None:
+            codes, lengths = res
+            return ReadBatch(codes=codes, lengths=lengths)
+    except ImportError:
+        pass
+    return encode_sequences(_read_sequences_py(path))
+
+
+def reverse_complement_batch(batch: ReadBatch) -> ReadBatch:
+    """Reverse-complement every row of a code matrix (host numpy)."""
+    codes = batch.codes
+    lengths = batch.lengths
+    out = np.zeros_like(codes)
+    comp = (3 - codes.astype(np.int16)).astype(np.uint8)
+    for i in range(codes.shape[0]):
+        L = int(lengths[i])
+        out[i, :L] = comp[i, :L][::-1]
+    return ReadBatch(codes=out, lengths=lengths.copy())
+
+
 def decode_kmer(packed: int, k: int) -> str:
     """Decode a 2-bit packed k-mer integer (big-endian base order) to str."""
     chars = []

@@ -1,0 +1,180 @@
+"""ctypes bindings for the native host runtime (native/mcaat_host.cpp).
+
+Build with ``make -C native``; every entry point gracefully degrades to
+the pure-Python implementation when the library is absent, so the
+framework works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libmcaat_host.so",
+)
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    c = ctypes
+    lib.mcaat_parse_fastx.restype = c.c_int
+    lib.mcaat_parse_fastx.argtypes = [
+        c.c_char_p,
+        c.POINTER(c.POINTER(c.c_uint8)),
+        c.POINTER(c.POINTER(c.c_int32)),
+        c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32),
+    ]
+    lib.mcaat_free.restype = None
+    lib.mcaat_free.argtypes = [c.c_void_p]
+    lib.mcaat_enumerate_cycles.restype = c.c_void_p
+    lib.mcaat_enumerate_cycles.argtypes = [
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32),
+        c.POINTER(c.c_uint8),
+        c.POINTER(c.c_int32),
+        c.c_int64,
+        c.POINTER(c.c_int64),
+        c.c_int64,
+        c.c_int,
+        c.c_int,
+    ]
+    for name in ("mcaat_sink_n_groups", "mcaat_sink_n_cycles", "mcaat_sink_flat_size"):
+        fn = getattr(lib, name)
+        fn.restype = c.c_int64
+        fn.argtypes = [c.c_void_p]
+    lib.mcaat_sink_copy.restype = None
+    lib.mcaat_sink_copy.argtypes = [c.c_void_p] + [c.POINTER(c.c_int64)] * 4
+    lib.mcaat_sink_free.restype = None
+    lib.mcaat_sink_free.argtypes = [c.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def parse_fastx_batch(path: str):
+    """Parse FASTA/FASTQ(.gz) directly into (codes [R, Lmax] uint8, lengths).
+
+    Returns None if the native library is unavailable or parsing failed.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c = ctypes
+    codes_p = c.POINTER(c.c_uint8)()
+    lengths_p = c.POINTER(c.c_int32)()
+    n_reads = c.c_int64()
+    max_len = c.c_int32()
+    rc = lib.mcaat_parse_fastx(
+        path.encode(), c.byref(codes_p), c.byref(lengths_p),
+        c.byref(n_reads), c.byref(max_len),
+    )
+    if rc != 0:
+        return None
+    n, m = int(n_reads.value), int(max_len.value)
+    try:
+        codes = np.ctypeslib.as_array(codes_p, shape=(max(n * m, 1),))[: n * m]
+        codes = codes.reshape(n, m).copy()
+        lengths = np.ctypeslib.as_array(lengths_p, shape=(max(n, 1),))[:n].copy()
+    finally:
+        lib.mcaat_free(codes_p)
+        lib.mcaat_free(lengths_p)
+    return codes, lengths
+
+
+def parse_fastx(path: str) -> list[str]:
+    """Sequence strings via the native parser (decoded from 2-bit codes).
+
+    NOTE: non-ACGT characters come back as 'T' (the pipeline's canonical
+    coding). Raises ImportError when unavailable so callers fall back.
+    """
+    res = parse_fastx_batch(path)
+    if res is None:
+        raise ImportError("native library unavailable")
+    codes, lengths = res
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out = []
+    for i in range(codes.shape[0]):
+        row = lut[codes[i, : lengths[i]]]
+        out.append(row.tobytes().decode("ascii"))
+    return out
+
+
+def enumerate_cycles(
+    out: np.ndarray,
+    in_: np.ndarray,
+    valid: np.ndarray,
+    mult: np.ndarray,
+    start_nodes: np.ndarray,
+    min_len: int,
+    max_len: int,
+):
+    """Native bounded multicycle enumeration.
+
+    Returns {start_node: [cycles]} or None if the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c = ctypes
+    out = np.ascontiguousarray(out, dtype=np.int32)
+    in_ = np.ascontiguousarray(in_, dtype=np.int32)
+    valid_u8 = np.ascontiguousarray(valid, dtype=np.uint8)
+    mult = np.ascontiguousarray(mult, dtype=np.int32)
+    starts = np.ascontiguousarray(start_nodes, dtype=np.int64)
+    h = lib.mcaat_enumerate_cycles(
+        out.ctypes.data_as(c.POINTER(c.c_int32)),
+        in_.ctypes.data_as(c.POINTER(c.c_int32)),
+        valid_u8.ctypes.data_as(c.POINTER(c.c_uint8)),
+        mult.ctypes.data_as(c.POINTER(c.c_int32)),
+        out.shape[0],
+        starts.ctypes.data_as(c.POINTER(c.c_int64)),
+        len(starts),
+        min_len,
+        max_len,
+    )
+    try:
+        n_groups = lib.mcaat_sink_n_groups(h)
+        n_cycles = lib.mcaat_sink_n_cycles(h)
+        flat_size = lib.mcaat_sink_flat_size(h)
+        g_starts = np.zeros(max(n_groups, 1), dtype=np.int64)
+        g_offsets = np.zeros(n_groups + 1, dtype=np.int64)
+        offsets = np.zeros(n_cycles + 1, dtype=np.int64)
+        flat = np.zeros(max(flat_size, 1), dtype=np.int64)
+        lib.mcaat_sink_copy(
+            h,
+            g_starts.ctypes.data_as(c.POINTER(c.c_int64)),
+            g_offsets.ctypes.data_as(c.POINTER(c.c_int64)),
+            offsets.ctypes.data_as(c.POINTER(c.c_int64)),
+            flat.ctypes.data_as(c.POINTER(c.c_int64)),
+        )
+    finally:
+        lib.mcaat_sink_free(h)
+    results: dict[int, list[list[int]]] = {}
+    for g in range(n_groups):
+        cycles = []
+        for ci in range(g_offsets[g], g_offsets[g + 1]):
+            cycles.append(flat[offsets[ci] : offsets[ci + 1]].tolist())
+        results[int(g_starts[g])] = cycles
+    return results

@@ -58,16 +58,28 @@ class PipelineResult:
 
 
 def build_graph_from_settings(settings: Settings) -> DBG:
-    """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp)."""
-    sequences: list[str] = []
-    for path in settings.input_file_list():
-        sequences.extend(read_sequences(path))
-    if not sequences:
+    """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp).
+
+    Uses the native parser when built (2-bit codes filled in C++, no
+    Python string materialization).
+    """
+    from mcaat_tpu.io.fastq import read_encoded_batch
+
+    batches = [read_encoded_batch(path) for path in settings.input_file_list()]
+    batches = [b for b in batches if b.num_reads]
+    if not batches:
         raise RuntimeError("No sequences found in input files")
-    batch = encode_sequences(sequences)
+    max_len = max(b.max_len for b in batches)
+    codes = np.zeros((sum(b.num_reads for b in batches), max_len), dtype=np.uint8)
+    lengths = np.zeros(codes.shape[0], dtype=np.int32)
+    row = 0
+    for b in batches:
+        codes[row : row + b.num_reads, : b.max_len] = b.codes
+        lengths[row : row + b.num_reads] = b.lengths
+        row += b.num_reads
     return build_dbg_from_reads(
-        batch.codes,
-        batch.lengths,
+        codes,
+        lengths,
         k=23,
         add_reverse_complement=settings.add_reverse_complement,
     )

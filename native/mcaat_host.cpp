@@ -1,0 +1,324 @@
+// mcaat_host — native host-side runtime for mcaat_tpu.
+//
+// TPU-native framework split: device compute (k-mer counting, graph build,
+// batched traversal) runs under JAX/XLA; this library provides the native
+// host runtime around it, replacing the reference's C++ machinery where it
+// is host-bound:
+//   * FASTQ/FASTA (incl. gzip) streaming parser with direct 2-bit packing
+//     into the padded read matrix the device kernels consume (replaces
+//     kseqpp + megahit SequenceLibCollection; reference src/reads.cpp:3-18,
+//     src/sdbg_build.cpp:59-115).
+//   * bounded multicycle enumeration (the per-start-node Johnson-style
+//     lock/relax DFS of reference src/cycle_finder.cpp:140-243) over the
+//     framework's [N,4] adjacency arrays.
+//
+// C ABI only (consumed via ctypes). Build: `make -C native`.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <map>
+#include <set>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTQ/FASTA parsing
+// ---------------------------------------------------------------------------
+
+// base -> 2-bit code; non-ACGT maps to T(3), matching the reference's
+// lookup coding (src/reads.cpp:44-53).
+static uint8_t g_code_lut[256];
+static bool g_lut_init = false;
+
+static void init_lut() {
+  if (g_lut_init) return;
+  memset(g_code_lut, 3, sizeof(g_code_lut));
+  g_code_lut[(int)'A'] = 0; g_code_lut[(int)'a'] = 0;
+  g_code_lut[(int)'C'] = 1; g_code_lut[(int)'c'] = 1;
+  g_code_lut[(int)'G'] = 2; g_code_lut[(int)'g'] = 2;
+  g_code_lut[(int)'T'] = 3; g_code_lut[(int)'t'] = 3;
+  g_lut_init = true;
+}
+
+struct ParsedReads {
+  std::vector<std::vector<uint8_t>> seqs;
+  int32_t max_len = 0;
+};
+
+// Streaming line reader over gzFile (works for plain files too).
+struct LineReader {
+  gzFile f;
+  std::vector<char> buf;
+  size_t pos = 0, len = 0;
+  bool eof = false;
+  explicit LineReader(gzFile f_) : f(f_), buf(1 << 20) {}
+  bool fill() {
+    if (eof) return false;
+    int n = gzread(f, buf.data(), (unsigned)buf.size());
+    if (n <= 0) { eof = true; return false; }
+    pos = 0; len = (size_t)n;
+    return true;
+  }
+  // Appends the next line (without newline) to out; returns false on EOF.
+  bool getline(std::string& out) {
+    out.clear();
+    for (;;) {
+      if (pos >= len && !fill()) return !out.empty();
+      size_t start = pos;
+      while (pos < len && buf[pos] != '\n') pos++;
+      out.append(&buf[start], pos - start);
+      if (pos < len) { pos++;  // skip newline
+        if (!out.empty() && out.back() == '\r') out.pop_back();
+        return true;
+      }
+    }
+  }
+};
+
+static ParsedReads* parse_file(const char* path) {
+  init_lut();
+  gzFile f = gzopen(path, "rb");
+  if (!f) return nullptr;
+  auto* pr = new ParsedReads();
+  LineReader lr(f);
+  std::string line;
+  if (!lr.getline(line)) { gzclose(f); return pr; }
+  if (!line.empty() && line[0] == '>') {
+    // FASTA: sequences may span lines
+    std::vector<uint8_t> cur;
+    while (lr.getline(line)) {
+      if (!line.empty() && line[0] == '>') {
+        if (!cur.empty()) {
+          pr->max_len = std::max(pr->max_len, (int32_t)cur.size());
+          pr->seqs.push_back(std::move(cur));
+          cur.clear();
+        }
+      } else {
+        for (char c : line) cur.push_back(g_code_lut[(uint8_t)c]);
+      }
+    }
+    if (!cur.empty()) {
+      pr->max_len = std::max(pr->max_len, (int32_t)cur.size());
+      pr->seqs.push_back(std::move(cur));
+    }
+  } else if (!line.empty() && line[0] == '@') {
+    // FASTQ: 4-line records; we are at the first header
+    std::string seq, plus, qual;
+    for (;;) {
+      if (!lr.getline(seq)) break;
+      std::vector<uint8_t> cur(seq.size());
+      for (size_t i = 0; i < seq.size(); ++i) cur[i] = g_code_lut[(uint8_t)seq[i]];
+      pr->max_len = std::max(pr->max_len, (int32_t)cur.size());
+      pr->seqs.push_back(std::move(cur));
+      if (!lr.getline(plus)) break;
+      if (!lr.getline(qual)) break;
+      if (!lr.getline(line)) break;  // next header
+    }
+  }
+  gzclose(f);
+  return pr;
+}
+
+// Parse into a dense padded matrix. Returns 0 on success.
+// Caller frees *codes_out and *lengths_out with mcaat_free.
+int mcaat_parse_fastx(const char* path, uint8_t** codes_out,
+                      int32_t** lengths_out, int64_t* n_reads_out,
+                      int32_t* max_len_out) {
+  ParsedReads* pr = parse_file(path);
+  if (!pr) return 1;
+  int64_t n = (int64_t)pr->seqs.size();
+  int32_t m = pr->max_len;
+  uint8_t* codes = (uint8_t*)calloc((size_t)(n * (int64_t)m + 1), 1);
+  int32_t* lengths = (int32_t*)malloc(sizeof(int32_t) * (size_t)(n + 1));
+  for (int64_t i = 0; i < n; ++i) {
+    const auto& s = pr->seqs[(size_t)i];
+    lengths[i] = (int32_t)s.size();
+    memcpy(codes + i * m, s.data(), s.size());
+  }
+  *codes_out = codes;
+  *lengths_out = lengths;
+  *n_reads_out = n;
+  *max_len_out = m;
+  delete pr;
+  return 0;
+}
+
+void mcaat_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// Bounded multicycle enumeration (reference src/cycle_finder.cpp:140-243)
+// ---------------------------------------------------------------------------
+
+struct CycleSink {
+  std::vector<int64_t> flat;     // concatenated cycle node ids
+  std::vector<int64_t> offsets;  // cycle i = flat[offsets[i]..offsets[i+1])
+  std::vector<int64_t> starts;   // start node per result group
+  std::vector<int64_t> group_offsets;  // group g = cycles[group_offsets[g]..)
+};
+
+struct Enumerator {
+  const int32_t* out;   // [N,4]
+  const int32_t* in;    // [N,4]
+  const uint8_t* valid; // [N]
+  const int32_t* mult;  // [N]
+  int64_t n;
+  int min_len, max_len;
+  std::vector<uint8_t> visited;
+
+  Enumerator(const int32_t* out_, const int32_t* in_, const uint8_t* valid_,
+             const int32_t* mult_, int64_t n_, int min_len_, int max_len_)
+      : out(out_), in(in_), valid(valid_), mult(mult_), n(n_),
+        min_len(min_len_), max_len(max_len_), visited((size_t)n_, 0) {}
+
+  // admissible neighbors, ascending (deterministic) — background check of
+  // reference src/cycle_finder.cpp:40-52 (global visited, mult ratio <=
+  // 500, no self edge back to the expanding node, validity).
+  void neighbors(const int32_t* adj, int64_t node, int64_t start_mult,
+                 std::vector<int64_t>& res) const {
+    res.clear();
+    if (!valid[node]) return;
+    for (int j = 0; j < 4; ++j) {
+      int64_t nb = adj[node * 4 + j];
+      if (nb < 0 || !valid[nb] || visited[nb]) continue;
+      if (start_mult / (int64_t)mult[nb] > 500) continue;
+      if (nb == node) continue;
+      res.push_back(nb);
+    }
+    std::sort(res.begin(), res.end());
+  }
+
+  // Faithful FindCycle (see mcaat_tpu/cycles/finder.py for the semantics
+  // discussion; >=500 cycles aborts the start node cleanly).
+  void find_cycles_from(int64_t start, CycleSink& sink) {
+    const int64_t start_mult = mult[start];
+    std::vector<int64_t> path{start};
+    std::unordered_map<int64_t, int> lock{{start, 0}};
+    std::vector<std::vector<int64_t>> stack(1);
+    neighbors(out, start, start_mult, stack[0]);
+    std::vector<int> backtrack{max_len};
+    std::vector<std::vector<int64_t>> cycles;
+    long steps = 0;
+
+    while (!stack.empty()) {
+      if (++steps > 10000000L) break;
+      auto& nbrs = stack.back();
+      bool advanced = false;
+      for (size_t pos = 0; pos < nbrs.size(); ++pos) {
+        int64_t nb = nbrs[pos];
+        if (nb == start) {
+          backtrack.back() = 1;
+          if ((int)path.size() > min_len) {
+            cycles.push_back(path);
+            if ((int)cycles.size() >= 500) {  // tangle: abort, empty group
+              cycles.clear();
+              record(start, cycles, sink);
+              return;
+            }
+          }
+        } else {
+          auto it = lock.find(nb);
+          int lk = (it == lock.end()) ? max_len : it->second;
+          if ((int)path.size() < lk) {
+            nbrs.erase(nbrs.begin() + (long)pos);
+            path.push_back(nb);
+            backtrack.push_back(max_len);
+            lock[nb] = (int)path.size();
+            stack.emplace_back();
+            neighbors(out, nb, start_mult, stack.back());
+            advanced = true;
+            break;
+          }
+        }
+      }
+      if (advanced) continue;
+      stack.pop_back();
+      int64_t v = path.back();
+      path.pop_back();
+      int bl = backtrack.back();
+      backtrack.pop_back();
+      if (!backtrack.empty()) backtrack.back() = std::min(backtrack.back(), bl);
+      if (bl < max_len) {
+        // Johnson-style bounded unblocking through incoming edges
+        std::vector<std::pair<int, int64_t>> relax{{bl, v}};
+        std::unordered_set<int64_t> path_set(path.begin(), path.end());
+        std::vector<int64_t> incs;
+        while (!relax.empty()) {
+          auto [rbl, u] = relax.back();
+          relax.pop_back();
+          auto it = lock.find(u);
+          int lk = (it == lock.end()) ? max_len : it->second;
+          if (lk < max_len - rbl + 1) {
+            lock[u] = max_len - rbl + 1;
+            neighbors(in, u, start_mult, incs);
+            for (int64_t w : incs)
+              if (!path_set.count(w)) relax.push_back({rbl + 1, w});
+          }
+        }
+      }
+    }
+
+    for (const auto& c : cycles)
+      for (int64_t node : c) visited[(size_t)node] = 1;
+    record(start, cycles, sink);
+  }
+
+  // Record a result group (possibly empty — the reference stores empty
+  // cycle lists for processed start nodes, src/cycle_finder.cpp:479).
+  void record(int64_t start, const std::vector<std::vector<int64_t>>& cycles,
+              CycleSink& sink) {
+    sink.starts.push_back(start);
+    sink.group_offsets.push_back((int64_t)sink.offsets.size());
+    for (const auto& c : cycles) {
+      sink.offsets.push_back((int64_t)sink.flat.size());
+      sink.flat.insert(sink.flat.end(), c.begin(), c.end());
+    }
+  }
+};
+
+// Enumerate cycles for start nodes given in processing order.
+// Returns an opaque handle queried by the accessors below.
+void* mcaat_enumerate_cycles(const int32_t* out, const int32_t* in,
+                             const uint8_t* valid, const int32_t* mult,
+                             int64_t n, const int64_t* start_nodes,
+                             int64_t n_starts, int min_len, int max_len) {
+  auto* sink = new CycleSink();
+  Enumerator e(out, in, valid, mult, n, min_len, max_len);
+  for (int64_t i = 0; i < n_starts; ++i) {
+    int64_t s = start_nodes[i];
+    if (e.visited[(size_t)s]) continue;
+    e.find_cycles_from(s, *sink);
+  }
+  sink->offsets.push_back((int64_t)sink->flat.size());
+  sink->group_offsets.push_back((int64_t)sink->offsets.size() - 1);
+  return sink;
+}
+
+int64_t mcaat_sink_n_groups(void* h) {
+  return (int64_t)((CycleSink*)h)->starts.size();
+}
+int64_t mcaat_sink_n_cycles(void* h) {
+  return (int64_t)((CycleSink*)h)->offsets.size() - 1;
+}
+int64_t mcaat_sink_flat_size(void* h) {
+  return (int64_t)((CycleSink*)h)->flat.size();
+}
+void mcaat_sink_copy(void* h, int64_t* starts, int64_t* group_offsets,
+                     int64_t* offsets, int64_t* flat) {
+  auto* s = (CycleSink*)h;
+  memcpy(starts, s->starts.data(), s->starts.size() * 8);
+  memcpy(group_offsets, s->group_offsets.data(), s->group_offsets.size() * 8);
+  memcpy(offsets, s->offsets.data(), s->offsets.size() * 8);
+  memcpy(flat, s->flat.data(), s->flat.size() * 8);
+}
+void mcaat_sink_free(void* h) { delete (CycleSink*)h; }
+
+}  // extern "C"
