@@ -114,6 +114,8 @@ def parse_arguments(argv: list[str]) -> Settings:
             cfs.low_abundance = argv[i].lower() in ("1", "true", "yes")
         elif arg == "--settings":
             i += 1  # handled in the pre-scan
+        elif arg == "--debug-pipeline":
+            settings.debug_pipeline = True
         i += 1
 
     if not input_files and settings.input_files:
@@ -166,7 +168,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Please check the following: {err}")
         return 1
     print("All inputs are correct. [✔]")
-    run_pipeline(settings)
+    if settings.debug_pipeline:
+        from mcaat_tpu.pipeline import run_debug_pipeline
+
+        run_debug_pipeline(settings)
+    else:
+        run_pipeline(settings)
     return 0
 
 

@@ -96,13 +96,15 @@ class DBG:
         return decode_kmer(int(np.asarray(self.kmers[node_id])), self.k)
 
     def to_host(self) -> "HostDBG":
+        # np.array (copy): jax buffers surface as read-only views, and the
+        # host stages (e.g. PhageCurator revalidation) mutate `valid`
         return HostDBG(
             k=self.k,
-            kmers=np.asarray(self.kmers),
-            mult=np.asarray(self.mult),
-            out=np.asarray(self.out),
-            in_=np.asarray(self.in_),
-            valid=np.asarray(self.valid),
+            kmers=np.array(self.kmers),
+            mult=np.array(self.mult),
+            out=np.array(self.out),
+            in_=np.array(self.in_),
+            valid=np.array(self.valid),
         )
 
 

@@ -223,6 +223,68 @@ def print_results(found_systems: list[FoundSystem]) -> None:
     )
 
 
+def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResult:
+    """The reference's DEBUG-main extension (src/main.cpp:358-493):
+    Filters → CRISPRAnalyzer → protospacer isolation → phage curation."""
+    import os
+
+    from mcaat_tpu.phage import PhageCurator
+    from mcaat_tpu.protospacers import (
+        IsolateProtospacers,
+        create_repeat_to_spacer_nodes,
+    )
+    from mcaat_tpu.systems.filters import Filters
+
+    result = PipelineResult()
+    graph = build_graph_from_settings(settings)
+    cfs = settings.cycle_finder_settings
+    graph, cycles_map = find_cycles(
+        graph,
+        threshold_multiplicity=cfs.threshold_multiplicity,
+        cycle_min_length=cfs.cycle_min_length,
+        cycle_max_length=cfs.cycle_max_length,
+        verbose=verbose,
+    )
+    result.graph = graph
+    result.cycles_map = cycles_map
+    host = graph.to_host()
+
+    if verbose:
+        print("FILTERS START:")
+    filters = Filters(host, cycles_map)
+    systems, n_spacers = filters.list_arrays()
+    if verbose:
+        print(f"Number of spacers: {n_spacers} before cleaning")
+        print("POST PROCESSING START:")
+    analyzer = CRISPRAnalyzer(systems, settings.output_file or "CRISPR_Arrays.txt")
+    result.report_text = analyzer.run_analysis()
+    if verbose:
+        print(f"Saved in: {analyzer.output_path}")
+    systems_from_analyzer = analyzer.get_systems()
+    repeat_to_spacer_nodes = create_repeat_to_spacer_nodes(host, systems_from_analyzer)
+    if verbose:
+        print(
+            f"Created repeat_to_spacer_nodes map with "
+            f"{len(repeat_to_spacer_nodes)} entries."
+        )
+
+    isolator = IsolateProtospacers.from_repeat_to_spacer_nodes(
+        host, repeat_to_spacer_nodes
+    )
+    in_map, out_map = isolator.get_protospacer_nodes()
+    grouped = isolator.depth_limited_paths_from_in_to_out(in_map, out_map, 50, 1)
+    out_dir = settings.output_folder or "."
+    isolator.write_paths_to_file(
+        grouped, os.path.join(out_dir, "grouped_paths_protospacers.txt")
+    )
+
+    curator = PhageCurator(graph=host, grouped_paths=grouped, cycles=cycles_map)
+    curator.find_quality_paths_beam_search(
+        3000, 3010, os.path.join(out_dir, "QualityPaths_BeamWidth50.fasta"), 50
+    )
+    return result
+
+
 def run_pipeline(settings: Settings, verbose: bool = True) -> PipelineResult:
     """Full release pipeline (≙ src/main.cpp:496-591)."""
     result = PipelineResult()

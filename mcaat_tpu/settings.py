@@ -48,6 +48,7 @@ class Settings:
     # TPU-framework-specific knobs (not in the reference):
     add_reverse_complement: bool = True  # megahit's graph contains both strands
     deterministic: bool = True  # stable start-node order / canonical output
+    debug_pipeline: bool = False  # run the reference's DEBUG-main extension
 
     def get_timestamp(self) -> str:
         return datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")

@@ -1,0 +1,92 @@
+"""Tracing / observability.
+
+The reference instruments with wall-clock prints around steps
+(``src/main_run_and_debug.cpp:8-27``), an RAII max-RSS recorder around the
+graph build, and progress counters (SURVEY §5). This module provides the
+structured equivalent: a stage timer registry with the same observable
+counters (tips, invalidated nodes, start-node buckets, cycles,
+constraints, confidences), optional jax.profiler trace capture, and
+device-memory stats.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class StageStats:
+    name: str
+    seconds: float = 0.0
+    counters: dict[str, float] = field(default_factory=dict)
+
+
+class Profiler:
+    def __init__(self):
+        self.stages: list[StageStats] = []
+        self._active: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, **counters):
+        t0 = time.perf_counter()
+        stats = StageStats(name=name, counters=dict(counters))
+        try:
+            yield stats
+        finally:
+            stats.seconds = time.perf_counter() - t0
+            self.stages.append(stats)
+
+    def count(self, stage_name: str, **counters) -> None:
+        for s in reversed(self.stages):
+            if s.name == stage_name:
+                s.counters.update(counters)
+                return
+        self.stages.append(StageStats(name=stage_name, counters=dict(counters)))
+
+    def report(self) -> str:
+        lines = []
+        total = sum(s.seconds for s in self.stages)
+        for s in self.stages:
+            extras = " ".join(f"{k}={v}" for k, v in s.counters.items())
+            lines.append(f"  {s.name:<28} {s.seconds:8.2f}s  {extras}")
+        lines.append(f"  {'TOTAL':<28} {total:8.2f}s")
+        return "\n".join(lines)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            [
+                {"name": s.name, "seconds": s.seconds, "counters": s.counters}
+                for s in self.stages
+            ]
+        )
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace for a pipeline section (TensorBoard)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_memory_stats() -> dict:
+    """Best-effort device memory stats (bytes in use / limit)."""
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
+        return {
+            "bytes_in_use": stats.get("bytes_in_use"),
+            "bytes_limit": stats.get("bytes_limit"),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        }
+    except Exception:
+        return {}
