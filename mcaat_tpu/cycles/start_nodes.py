@@ -54,8 +54,16 @@ def _self_reach_kernel(
     overflow = jnp.zeros((B,), dtype=bool)
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
 
-    def body(_, state):
-        frontier, visited, found, overflow = state
+    def cond(state):
+        depth, frontier, visited, found, overflow = state
+        # early exit: every lane either found its cycle or its frontier died
+        active = ~found & (frontier[:, 0] < N)
+        return (depth < max_depth) & jnp.any(active)
+
+    def body(state):
+        depth, frontier, visited, found, overflow = state
+        # found lanes stop expanding (kill their frontier)
+        frontier = jnp.where(found[:, None], N, frontier)
         f_live = frontier < N
         f_idx = jnp.minimum(frontier, N - 1)
         nbrs = out[f_idx]  # [B, F, 4]
@@ -71,11 +79,16 @@ def _self_reach_kernel(
         bit = (jnp.uint32(1) << (flat & 31).astype(jnp.uint32))
         seen = (jnp.take_along_axis(visited, word, axis=1) & bit) != 0
         flat = jnp.where(seen, N, flat)
-        # dedup within the level: sort per lane, keep first occurrence
+        # dedup + compact in one sort: duplicates sort adjacent; bumping
+        # them to N+rank keeps the array sorted, so a second sort is
+        # unnecessary and the N-threshold still marks dead slots
         flat = jnp.sort(flat, axis=1)
         dup = jnp.concatenate(
-            [jnp.zeros((B, 1), bool), flat[:, 1:] == flat[:, :-1]], axis=1
+            [jnp.zeros((B, 1), bool), (flat[:, 1:] == flat[:, :-1]) & (flat[:, 1:] < N)],
+            axis=1,
         )
+        # count live entries ignoring dups, then shift dups out by a
+        # stable re-sort of keys (dup -> N) — single extra sort of i32
         flat = jnp.where(dup, N, flat)
         flat = jnp.sort(flat, axis=1)
         n_new = jnp.sum(flat < N, axis=1)
@@ -88,10 +101,10 @@ def _self_reach_kernel(
             nf_live, jnp.uint32(1) << (new_frontier & 31).astype(jnp.uint32), jnp.uint32(0)
         )
         visited = visited.at[jnp.broadcast_to(rows, w2.shape), w2].add(b2)
-        return new_frontier, visited, found, overflow
+        return depth + 1, new_frontier, visited, found, overflow
 
-    frontier, visited, found, overflow = jax.lax.fori_loop(
-        0, max_depth, body, (frontier, visited, found, overflow)
+    _, frontier, visited, found, overflow = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), frontier, visited, found, overflow)
     )
     return found & live_lane, overflow & live_lane
 
@@ -100,12 +113,15 @@ def self_reachable_batch(
     graph: DBG,
     starts: np.ndarray,
     max_depth: int,
-    batch: int = 64,
-    frontier_cap: int = 1024,
+    batch: int = 512,
+    frontier_cap: int = 64,
 ) -> np.ndarray:
     """For each start node: can it reach itself in ≤ max_depth valid steps?
 
-    Exact: lanes whose frontier overflowed are re-run with a host DFS.
+    Exact and tiered: per-level cost is gather-bound (∝ batch ×
+    frontier_cap), so the first pass runs with a small frontier; lanes
+    that overflow retry with a 16x frontier, and anything still
+    overflowing falls back to an exact host DFS (rare tangles).
     """
     starts = np.asarray(starts, dtype=np.int32)
     n = len(starts)
@@ -114,28 +130,46 @@ def self_reachable_batch(
         return result
     # frontier can never exceed the node count; shrink lanes for tiny inputs
     # (fewer/faster compiles, same results)
-    frontier_cap = min(frontier_cap, _pow2ceil(graph.size))
+    cap1 = min(frontier_cap, _pow2ceil(graph.size))
+    cap2 = min(frontier_cap * 16, _pow2ceil(graph.size))
     batch = min(batch, _pow2ceil(n))
-    out_h = None
-    valid_h = None
+
+    retry: list[int] = []
     for lo in range(0, n, batch):
         chunk = starts[lo : lo + batch]
         pad = np.full(batch - len(chunk), -1, dtype=np.int32)
         starts_b = jnp.asarray(np.concatenate([chunk, pad]))
         found, overflow = _self_reach_kernel(
-            graph.out, graph.valid, starts_b, max_depth, frontier_cap
+            graph.out, graph.valid, starts_b, max_depth, cap1
         )
         found = np.asarray(found[: len(chunk)])
         overflow = np.asarray(overflow[: len(chunk)])
         result[lo : lo + len(chunk)] = found
-        if overflow.any():
-            if out_h is None:
-                out_h = np.asarray(graph.out)
-                valid_h = np.asarray(graph.valid)
-            for i in np.nonzero(overflow & ~found)[0]:
-                result[lo + i] = _self_reach_host(
-                    out_h, valid_h, int(chunk[i]), max_depth
-                )
+        retry.extend((lo + i) for i in np.nonzero(overflow & ~found)[0])
+
+    if retry and cap2 > cap1:
+        still: list[int] = []
+        retry_np = np.asarray(retry, dtype=np.int64)
+        rbatch = min(batch, _pow2ceil(len(retry)))
+        for lo in range(0, len(retry_np), rbatch):
+            sel = retry_np[lo : lo + rbatch]
+            chunk = starts[sel]
+            pad = np.full(rbatch - len(chunk), -1, dtype=np.int32)
+            starts_b = jnp.asarray(np.concatenate([chunk, pad]))
+            found, overflow = _self_reach_kernel(
+                graph.out, graph.valid, starts_b, max_depth, cap2
+            )
+            found = np.asarray(found[: len(chunk)])
+            overflow = np.asarray(overflow[: len(chunk)])
+            result[sel] = found
+            still.extend(sel[np.nonzero(overflow & ~found)[0]].tolist())
+        retry = still
+
+    if retry:
+        out_h = np.asarray(graph.out)
+        valid_h = np.asarray(graph.valid)
+        for i in retry:
+            result[i] = _self_reach_host(out_h, valid_h, int(starts[i]), max_depth)
     return result
 
 

@@ -183,16 +183,24 @@ def _build_adjacency(kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array)
     v_id = _lookup(kmers23, v)
     ok = live & (u_id >= 0) & (v_id >= 0)
 
-    # Dead lanes scatter to a dump row (index N) that is later dropped.
-    dump = jnp.int32(N)
-    u_rows = jnp.where(ok, u_id, dump)
-    v_rows = jnp.where(ok, v_id, dump)
-
-    out = jnp.full((N + 1, 4), -1, dtype=jnp.int32)
-    in_ = jnp.full((N + 1, 4), -1, dtype=jnp.int32)
-    out = out.at[u_rows, jnp.where(ok, last, 0)].set(jnp.where(ok, v_id, -1))
-    in_ = in_.at[v_rows, jnp.where(ok, first, 0)].set(jnp.where(ok, u_id, -1))
-    return out[:N], in_[:N]
+    # Flat 1-D scatters with uniqueness/sortedness hints (the general 2-D
+    # scatter path is ~10x slower on TPU). Each unique 24-mer u·b maps to
+    # a unique flat slot u_id*4+b, and — since the edge integer is
+    # e == (u << 2) | b — sorted edges give SORTED out-slots.
+    dump = jnp.int32(4 * N)
+    out_slot = jnp.where(ok, u_id * 4 + last, dump)
+    in_slot = jnp.where(ok, v_id * 4 + first, dump)
+    out = (
+        jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
+        .at[out_slot]
+        .set(jnp.where(ok, v_id, -1), unique_indices=True, indices_are_sorted=True)
+    )
+    in_ = (
+        jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
+        .at[in_slot]
+        .set(jnp.where(ok, u_id, -1), unique_indices=True)
+    )
+    return out[: 4 * N].reshape(N, 4), in_[: 4 * N].reshape(N, 4)
 
 
 def build_dbg(

@@ -59,13 +59,13 @@ def count_unique(kmers_flat: jax.Array):
     is_head = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     is_head &= s != SENTINEL
     n_live = jnp.sum((s != SENTINEL).astype(jnp.int32))  # sentinels sort last
-    seg = jnp.cumsum(is_head.astype(jnp.int32))
-    n_unique = seg[n - 1]
-    # compact: head element i goes to slot seg[i]-1; non-heads -> dropped
-    target = jnp.where(is_head, seg - 1, n)
+    n_unique = jnp.sum(is_head.astype(jnp.int32))
     pos = jnp.arange(n, dtype=jnp.int32)
-    head_idx = jnp.full((n,), n, dtype=jnp.int32).at[target].set(pos, mode="drop")
-    unique = jnp.full((n,), SENTINEL, dtype=s.dtype).at[target].set(s, mode="drop")
+    # compaction BY SORTING (scatters lower poorly on TPU; sorts are fast):
+    # non-heads become SENTINEL / n and sort to the tail, heads keep their
+    # relative (sorted) order.
+    unique = jnp.sort(jnp.where(is_head, s, SENTINEL))
+    head_idx = jnp.sort(jnp.where(is_head, pos, n))
     # count of unique i = (index of next head, or first sentinel) - head index
     next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
     counts = jnp.where(

@@ -51,20 +51,22 @@ def _grow_region(out, in_, valid, seed_mask, hops: int):
     join the reached set (they stay invalid afterwards) — mirroring the
     reference which inserts raw neighbors into the kept set but only
     expands valid members (src/spacer_ordering.cpp:96-129).
+
+    Pure-gather formulation (TPU-friendly, no nonzero/scatter): node v is
+    added this hop iff any of its in- or out-neighbors is an expandable
+    frontier node — read off the reverse adjacency with two gathers.
     """
-    n = out.shape[0]
 
     def body(_, state):
         reached, frontier = state
-        src = frontier & valid
-        idx = jnp.nonzero(src, size=n, fill_value=n)[0]
-        # gather both directions; n-fill rows map to a clamped row then mask
-        idx_c = jnp.minimum(idx, n - 1)
-        row_live = idx < n
-        nbrs = jnp.concatenate([out[idx_c], in_[idx_c]], axis=1)  # [n, 8]
-        ok = (nbrs >= 0) & row_live[:, None]
-        nbr_c = jnp.where(ok, nbrs, 0)
-        hit = jnp.zeros((n,), bool).at[nbr_c.reshape(-1)].max(ok.reshape(-1))
+        fm = frontier & valid  # only valid nodes expand
+        in_c = jnp.maximum(in_, 0)
+        out_c = jnp.maximum(out, 0)
+        # u -> v edge with u in frontier: check v's in-list
+        from_in = jnp.any(fm[in_c] & (in_ >= 0), axis=1)
+        # v -> u edge with u in frontier: check v's out-list
+        from_out = jnp.any(fm[out_c] & (out >= 0), axis=1)
+        hit = from_in | from_out
         new_frontier = hit & ~reached
         return reached | hit, new_frontier
 
