@@ -29,6 +29,7 @@ actually propagate up dead chains.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, replace
 from typing import Optional
 
@@ -144,10 +145,14 @@ class HostDBG:
 def _lookup(table: jax.Array, query: jax.Array) -> jax.Array:
     # method="sort" (sort-merge) is ~11x faster than the default binary
     # search on TPU for bulk lookups at ~8M queries
+    from mcaat_tpu.kmer.count import SENTINEL
+
     method = "sort" if query.size >= 4096 else "scan"
     idx = jnp.searchsorted(table, query, method=method)
     idx_c = jnp.minimum(idx, table.shape[0] - 1)
-    found = (idx < table.shape[0]) & (table[idx_c] == query)
+    # query != SENTINEL guard: a bucket-padded table carries SENTINEL tail
+    # entries which must never count as hits
+    found = (idx < table.shape[0]) & (table[idx_c] == query) & (query != SENTINEL)
     return jnp.where(found, idx_c, -1).astype(jnp.int32)
 
 
@@ -166,11 +171,12 @@ def _degree(adj: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.sum(ok, axis=1).astype(jnp.int32)
 
 
-@jax.jit
-def _build_adjacency(kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array):
-    """Scatter unique 24-mers into out/in adjacency over the 23-mer table."""
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_adjacency(
+    kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array, k: int = 23
+):
+    """Scatter unique (k+1)-mers into out/in adjacency over the k-mer table."""
     N = kmers23.shape[0]
-    k = 23
     mask_k = (jnp.int64(1) << jnp.int64(2 * k)) - 1
     live = jnp.arange(edges24.shape[0]) < n_edges
 
@@ -216,9 +222,23 @@ def build_dbg(
     edges24 = jnp.asarray(edges24)
     if n_edges is None:
         n_edges = int(edges24.shape[0])
-    out, in_ = _build_adjacency(kmers23, edges24, jnp.asarray(n_edges))
+    out, in_ = _build_adjacency(kmers23, edges24, jnp.asarray(n_edges), k=k)
     valid = jnp.ones((kmers23.shape[0],), dtype=bool)
     return DBG(k=k, kmers=kmers23, mult=counts23, out=out, in_=in_, valid=valid)
+
+
+def _bucket_size(n: int) -> int:
+    """Round up to {1, 1.25, 1.5, 1.75} x a power of two (≤ 4 buckets per
+    octave keeps padding waste under 25% while letting different datasets
+    share compiled shapes)."""
+    if n <= 1024:
+        return 1024
+    p = 1 << (n - 1).bit_length() - 1  # largest power of two <= n-1... floor
+    for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+        cand = int(p * frac)
+        if cand >= n:
+            return cand
+    return 2 * p
 
 
 def build_dbg_from_reads(
@@ -226,6 +246,7 @@ def build_dbg_from_reads(
     lengths: np.ndarray,
     k: int = 23,
     add_reverse_complement: bool = True,
+    bucket_shapes: bool = True,
 ) -> DBG:
     """End-to-end graph build from a padded read-code matrix.
 
@@ -233,9 +254,27 @@ def build_dbg_from_reads(
     extraction, counting and adjacency construction, all on device. With
     ``add_reverse_complement`` the reverse-complement strand of every read
     is counted too, mirroring megahit's both-strand edge set.
+
+    ``bucket_shapes`` pads the read count and the node/edge tables to
+    bucketed sizes so different datasets reuse compiled programs
+    (compiles dominate small runs, especially over remote-compile TPU
+    tunnels). Padded nodes carry SENTINEL k-mers, multiplicity 0 and
+    ``valid=False``; every query path masks them out.
     """
-    codes_j = jnp.asarray(codes)
-    lengths_j = jnp.asarray(lengths)
+    codes_np = np.asarray(codes)
+    lengths_np = np.asarray(lengths)
+    if bucket_shapes:
+        R, L = codes_np.shape
+        R_pad = _bucket_size(R)
+        L_pad = (L + 31) // 32 * 32
+        codes2 = np.zeros((R_pad, L_pad), dtype=np.uint8)
+        codes2[:R, :L] = codes_np
+        lengths2 = np.zeros((R_pad,), dtype=np.int32)
+        lengths2[:R] = lengths_np
+        codes_np, lengths_np = codes2, lengths2
+
+    codes_j = jnp.asarray(codes_np)
+    lengths_j = jnp.asarray(lengths_np)
     if add_reverse_complement:
         codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)
         codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
@@ -246,7 +285,19 @@ def build_dbg_from_reads(
     u23, c23, n23 = count_unique(km23)
     u24, _, n24 = count_unique(km24)
     n23_i = int(n23)
-    return build_dbg(u23[:n23_i], c23[:n23_i], u24, n_edges=int(n24), k=k)
+    n24_i = int(n24)
+    n_keep = _bucket_size(n23_i) if bucket_shapes else n23_i
+    n_keep = min(n_keep, int(u23.shape[0]))
+    e_keep = _bucket_size(n24_i) if bucket_shapes else n24_i
+    e_keep = min(e_keep, int(u24.shape[0]))
+    graph = build_dbg(
+        u23[:n_keep], c23[:n_keep], u24[:e_keep], n_edges=n24_i, k=k
+    )
+    # padded tail rows are non-nodes
+    if n_keep > n23_i:
+        live = jnp.arange(n_keep) < n23_i
+        graph = graph.with_valid(graph.valid & live)
+    return graph
 
 
 @jax.jit

@@ -1,0 +1,269 @@
+"""Distributed de Bruijn graph: node table + adjacency sharded over kp.
+
+The single-chip ``graph.dbg.DBG`` holds the whole structure-of-arrays in
+one HBM. At 1B+ nodes the table must shard (SURVEY §7.3 risk 4): here the
+k-mer space is radix-partitioned by the packed k-mer's top bits over the
+mesh's ``kp`` axis, so shard s owns a contiguous sorted range.
+
+Key property exploited for the build: a 24-mer edge ``e = u·b`` has the
+same top bits as its source 23-mer ``u`` (``e >> (48-bits) == u >>
+(46-bits)``), so every edge is co-located with its source node — the
+*out*-adjacency builds entirely locally. Destination ids and the
+*in*-adjacency require one routed exchange each (``all_to_all`` over kp).
+
+Global node id = ``shard * T + local_rank`` with fixed per-shard capacity
+``T``; SENTINEL-padded tails keep shapes static.
+
+`frontier_step` is the distributed BFS primitive: global node ids route to
+their owner shard, the owner gathers out-neighbors, results route back —
+the communication shape of the distributed cycle search and read mapper
+(SURVEY §5 "long-context" analog).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mcaat_tpu.kmer.count import SENTINEL, count_unique, extract_kmers
+from mcaat_tpu.parallel.sharded import _bucket_by_owner, _owner_shift
+
+shard_map = jax.shard_map
+
+
+@dataclass
+class ShardedDBG:
+    """Per-shard arrays; leading axis is the kp shard."""
+
+    k: int
+    mesh: Mesh
+    kmers: jax.Array  # int64 [kp, T] sorted per shard, SENTINEL pad
+    mult: jax.Array  # int32 [kp, T]
+    out: jax.Array  # int32 [kp, T, 4] GLOBAL node ids, -1 absent
+    valid: jax.Array  # bool  [kp, T]
+
+    @property
+    def shard_capacity(self) -> int:
+        return int(self.kmers.shape[1])
+
+    @property
+    def n_nodes(self) -> int:
+        return int(jnp.sum(self.kmers != SENTINEL))
+
+    def to_single_device(self):
+        """Materialize a host-side global view (tests / small graphs)."""
+        kp, T = self.kmers.shape
+        return (
+            np.asarray(self.kmers).reshape(kp * T),
+            np.asarray(self.mult).reshape(kp * T),
+            np.asarray(self.out).reshape(kp * T, 4),
+            np.asarray(self.valid).reshape(kp * T),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "route_cap", "shard_cap")
+)
+def build_sharded_dbg_arrays(
+    mesh: Mesh,
+    codes: jax.Array,
+    lengths: jax.Array,
+    k: int,
+    route_cap: int = 1 << 16,
+    shard_cap: int = 1 << 16,
+):
+    """Distributed graph build over the ("dp", "kp") mesh.
+
+    Returns (kmers [kp,T], mult [kp,T], out [kp,T,4], dropped scalar).
+    """
+    kp = mesh.shape["kp"]
+    shift23 = _owner_shift(k, kp)
+    shift24 = _owner_shift(k + 1, kp)
+    T = shard_cap
+    mask_k = (np.int64(1) << np.int64(2 * k)) - 1
+
+    def step(codes_local, lengths_local):
+        my_kp = jax.lax.axis_index("kp")
+        # ---- distributed counting of 23-mer nodes and 24-mer edges -----
+        km23 = extract_kmers(codes_local, lengths_local, k).reshape(-1)
+        km24 = extract_kmers(codes_local, lengths_local, k + 1).reshape(-1)
+        s23, d23 = _bucket_by_owner(km23, kp, shift23, route_cap)
+        s24, d24 = _bucket_by_owner(km24, kp, shift24, route_cap)
+        r23 = jax.lax.all_to_all(s23[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
+        r24 = jax.lax.all_to_all(s24[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
+        a23 = jax.lax.all_gather(r23, "dp", tiled=True)
+        a24 = jax.lax.all_gather(r24, "dp", tiled=True)
+        u23, c23, _ = count_unique(a23)
+        u24, _c24, n24 = count_unique(a24)
+        u23 = u23[:T]
+        c23 = c23[:T]
+        u24 = u24[: 4 * T]
+
+        # ---- local out-adjacency (edges are co-located with sources) ---
+        u = u24 >> jnp.int64(2)
+        v = u24 & jnp.int64(mask_k)
+        b = (u24 & jnp.int64(3)).astype(jnp.int32)
+        live_e = u24 != SENTINEL
+        # u is local: binary search in this shard's table
+        u_pos = jnp.searchsorted(u23, jnp.where(live_e, u, SENTINEL))
+        u_pos_c = jnp.minimum(u_pos, T - 1)
+        u_ok = live_e & (u23[u_pos_c] == u) & (u != SENTINEL)
+        # v may live anywhere: route v to its owner, get global ids back
+        v_gid = _routed_lookup(u23, jnp.where(u_ok, v, SENTINEL), kp, shift23,
+                               route_cap, T, my_kp)
+        ok = u_ok & (v_gid >= 0)
+        dump = jnp.int32(4 * T)
+        slots = jnp.where(ok, u_pos_c.astype(jnp.int32) * 4 + b, dump)
+        out_flat = (
+            jnp.full((4 * T + 1,), -1, dtype=jnp.int32)
+            .at[slots]
+            .set(jnp.where(ok, v_gid, -1), unique_indices=True,
+                 indices_are_sorted=True)
+        )
+        out_local = out_flat[: 4 * T].reshape(T, 4)
+        dropped = jax.lax.psum(d23 + d24, ("dp", "kp"))
+        return u23[None], c23[None], out_local[None], dropped
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(("dp", "kp"), None), P(("dp", "kp"))),
+        out_specs=(P(None, "kp"), P(None, "kp"), P(None, "kp", None), P()),
+        check_vma=False,
+    )
+    kmers, mult, out, dropped = fn(codes, lengths)
+    kp_n = mesh.shape["kp"]
+    return (
+        kmers.reshape(kp_n, T),
+        mult.reshape(kp_n, T),
+        out.reshape(kp_n, T, 4),
+        dropped,
+    )
+
+
+def _routed_lookup(table_local, queries, kp, shift, route_cap, T, my_kp):
+    """Inside shard_map: route queries to owners, search, route back.
+
+    Returns GLOBAL node ids (owner*T + local pos), -1 for misses, aligned
+    with the input query order.
+    """
+    n = queries.shape[0]
+    owner = jnp.where(
+        queries != SENTINEL, (queries >> shift).astype(jnp.int32), kp - 1
+    )
+    order = jnp.argsort(owner, stable=True)
+    q_sorted = queries[order]
+    owner_sorted = owner[order]
+    starts = jnp.searchsorted(owner_sorted, jnp.arange(kp, dtype=jnp.int32))
+    ends = jnp.concatenate([starts[1:], jnp.array([n], dtype=starts.dtype)])
+    col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
+    idx = starts[:, None] + col
+    live = idx < ends[:, None]
+    idx_c = jnp.minimum(idx, n - 1)
+    send = jnp.where(live, q_sorted[idx_c], SENTINEL)
+
+    recv = jax.lax.all_to_all(send[None], "kp", 1, 1, tiled=False)[0]
+    flat = recv.reshape(-1)
+    method = "sort" if flat.size >= 4096 else "scan"
+    pos = jnp.searchsorted(table_local, flat, method=method)
+    pos_c = jnp.minimum(pos, T - 1)
+    hit = (flat != SENTINEL) & (table_local[pos_c] == flat)
+    gid = jnp.where(hit, my_kp.astype(jnp.int32) * T + pos_c.astype(jnp.int32), -1)
+    back = jax.lax.all_to_all(
+        gid.reshape(kp, route_cap)[None], "kp", 1, 1, tiled=False
+    )[0]
+    out_sorted = jnp.full((n,), -1, dtype=jnp.int32)
+    out_sorted = out_sorted.at[
+        jnp.where(live, idx_c, n).reshape(-1)
+    ].set(back.reshape(-1), mode="drop")
+    return jnp.zeros((n,), jnp.int32).at[order].set(out_sorted)
+
+
+def build_sharded_dbg(
+    mesh: Mesh,
+    codes,
+    lengths,
+    k: int = 23,
+    route_cap: int = 1 << 16,
+    shard_cap: int = 1 << 16,
+) -> tuple[ShardedDBG, int]:
+    kmers, mult, out, dropped = build_sharded_dbg_arrays(
+        mesh, jnp.asarray(codes), jnp.asarray(lengths), k,
+        route_cap=route_cap, shard_cap=shard_cap,
+    )
+    graph = ShardedDBG(
+        k=k, mesh=mesh, kmers=kmers, mult=mult, out=out,
+        valid=kmers != SENTINEL,
+    )
+    return graph, int(dropped)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
+def frontier_step(
+    mesh: Mesh,
+    kmers: jax.Array,  # [kp, T]
+    out: jax.Array,  # [kp, T, 4]
+    valid: jax.Array,  # [kp, T]
+    frontier: jax.Array,  # int32 [Q] global ids (replicated), -1 dead
+    route_cap: int = 1 << 14,
+):
+    """One distributed BFS expansion: global ids -> all valid out-neighbors.
+
+    Returns int32 [Q, 4] of global neighbor ids (-1 masked).
+    """
+    kp = mesh.shape["kp"]
+    T = kmers.shape[1]
+
+    def step(kmers_l, out_l, valid_l, frontier_l):
+        out_l = out_l[0]
+        valid_l = valid_l[0]
+        q = frontier_l
+        n = q.shape[0]
+        owner = jnp.where(q >= 0, q // T, kp - 1).astype(jnp.int32)
+        order = jnp.argsort(owner, stable=True)
+        q_sorted = q[order]
+        owner_sorted = owner[order]
+        starts = jnp.searchsorted(owner_sorted, jnp.arange(kp, dtype=jnp.int32))
+        ends = jnp.concatenate([starts[1:], jnp.array([n], dtype=starts.dtype)])
+        col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
+        idx = starts[:, None] + col
+        live = idx < ends[:, None]
+        idx_c = jnp.minimum(idx, n - 1)
+        send = jnp.where(live, q_sorted[idx_c], -1)
+
+        recv = jax.lax.all_to_all(send[None], "kp", 1, 1, tiled=False)[0]
+        flat = recv.reshape(-1)
+        loc = jnp.where(flat >= 0, flat % T, 0)
+        nbrs = out_l[loc]  # [kp*cap, 4] global ids
+        nb_ok = (flat >= 0)[:, None] & (nbrs >= 0)
+        # validity of a GLOBAL neighbor id is owned elsewhere; the caller
+        # filters against its replicated valid view
+        res = jnp.where(nb_ok, nbrs, -1)
+        back = jax.lax.all_to_all(
+            res.reshape(kp, route_cap, 4)[None], "kp", 1, 1, tiled=False
+        )[0]
+        out_sorted = jnp.full((n, 4), -1, dtype=jnp.int32)
+        out_sorted = out_sorted.at[
+            jnp.where(live, idx_c, n).reshape(-1)
+        ].set(back.reshape(-1, 4), mode="drop")
+        result = jnp.zeros((n, 4), jnp.int32).at[order].set(out_sorted)
+        # filter against the valid mask of the neighbor's owner shard:
+        # gather locally over the replicated [kp*T] valid view
+        valid_all = jax.lax.all_gather(valid_l, "kp", tiled=True)
+        r_ok = (result >= 0) & valid_all[jnp.maximum(result, 0)]
+        return jnp.where(r_ok, result, -1)
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, "kp"), P(None, "kp", None), P(None, "kp"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(kmers.reshape(1, -1), out.reshape(1, -1, 4), valid.reshape(1, -1),
+              frontier)

@@ -129,7 +129,9 @@ def spacer_ordering_step(
             )
             print(f"      🛈 Reads with {len(relevant_reads)}/{len(reads)} used")
             print(f"      🛈 Cycles with {len(relevant_cycles)} used")
-        cycle_order, conf_res, conf_topo = order_cycles(
+        from mcaat_tpu.ordering.fast import order_cycles_fast
+
+        cycle_order, conf_res, conf_topo = order_cycles_fast(
             relevant_reads, relevant_cycles, verbose=verbose
         )
         if verbose:

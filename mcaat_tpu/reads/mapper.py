@@ -89,6 +89,20 @@ def _map_sequences(
 ) -> list[list[int]]:
     if not sequences:
         return []
-    batch = encode_sequences(sequences)
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    batch = encode_sequences(sequences, pad_to_multiple=32)
+    # bucket the row count so repeat runs reuse compiled programs;
+    # zero-length pad rows produce no windows and are filtered out
+    R = batch.num_reads
+    R_pad = _bucket_size(R)
+    if R_pad > R:
+        codes = np.zeros((R_pad, batch.max_len), dtype=np.uint8)
+        codes[:R] = batch.codes
+        lengths = np.zeros((R_pad,), dtype=np.int32)
+        lengths[:R] = batch.lengths
+        batch = ReadBatch(codes=codes, lengths=lengths)
     ids, n_windows = map_reads_to_nodes(graph, batch)
-    return chains_from_ids(ids, n_windows, batch.lengths, graph.k, cycle_nodes)
+    return chains_from_ids(
+        ids[:R], n_windows[:R], batch.lengths[:R], graph.k, cycle_nodes
+    )

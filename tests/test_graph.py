@@ -26,7 +26,7 @@ def test_build_matches_model():
     seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, size=80)) for _ in range(20)]
     k = 23
     batch = encode_sequences(seqs)
-    g = build_dbg_from_reads(batch.codes, batch.lengths, k=k, add_reverse_complement=False)
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=k, add_reverse_complement=False, bucket_shapes=False)
     nodes, edges = model_dbg(seqs, k)
 
     assert g.size == len(nodes)
@@ -63,9 +63,38 @@ def test_rc_strand_included():
     assert (ids >= 0).all()
 
 
+def test_bucketed_build_equivalent():
+    """Bucket-padded build: padded tail is invalid and query-inert."""
+    rng = np.random.default_rng(3)
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, size=60)) for _ in range(10)]
+    batch = encode_sequences(seqs)
+    exact = build_dbg_from_reads(
+        batch.codes, batch.lengths, k=23, add_reverse_complement=False,
+        bucket_shapes=False,
+    )
+    padded = build_dbg_from_reads(
+        batch.codes, batch.lengths, k=23, add_reverse_complement=False,
+        bucket_shapes=True,
+    )
+    n = exact.size
+    assert padded.size >= n
+    assert (np.asarray(padded.kmers[:n]) == np.asarray(exact.kmers)).all()
+    assert (np.asarray(padded.out[:n]) == np.asarray(exact.out)).all()
+    assert (np.asarray(padded.mult[:n]) == np.asarray(exact.mult)).all()
+    assert not np.asarray(padded.valid[n:]).any()
+    # padded-tail SENTINEL entries never match lookups
+    from mcaat_tpu.kmer.count import SENTINEL
+    ids = np.asarray(padded.lookup(jnp.array([SENTINEL], dtype=jnp.int64)))
+    assert ids[0] == -1
+    # degrees agree on the live prefix
+    assert (
+        np.asarray(padded.out_degree()[:n]) == np.asarray(exact.out_degree())
+    ).all()
+
+
 def test_lookup_miss_returns_minus1():
     batch = encode_sequences(["ACGTACGTTGCAACGGTCCAGTTTACG"])
-    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23, add_reverse_complement=False)
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23, add_reverse_complement=False, bucket_shapes=False)
     missing = encode_kmer("A" * 23)
     ids = np.asarray(g.lookup(jnp.array([missing], dtype=jnp.int64)))
     assert ids[0] == -1
@@ -76,7 +105,7 @@ def test_degrees_validity_aware():
     # direct build: simplest is a long unique sequence (path graph).
     seq = "ACGTTGCAACGGTCCAGTTTACGCATCGATT"
     batch = encode_sequences([seq])
-    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23, add_reverse_complement=False)
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23, add_reverse_complement=False, bucket_shapes=False)
     outdeg = np.asarray(g.out_degree())
     indeg = np.asarray(g.in_degree())
     # path graph: one source, one sink

@@ -1,0 +1,85 @@
+"""Distributed graph build + frontier exchange vs the single-device graph."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcaat_tpu.graph.dbg import build_dbg_from_reads
+from mcaat_tpu.io.fastq import encode_sequences
+from mcaat_tpu.kmer.count import SENTINEL
+from mcaat_tpu.parallel.sharded import make_pipeline_mesh
+from mcaat_tpu.parallel.sharded_graph import build_sharded_dbg, frontier_step
+
+
+def make_reads(n=32, length=60, seed=0):
+    rng = np.random.default_rng(seed)
+    seqs = ["".join("ACGT"[i] for i in rng.integers(0, 4, size=length)) for _ in range(n)]
+    return encode_sequences(seqs)
+
+
+def test_sharded_build_matches_single_device():
+    batch = make_reads(n=16, length=60, seed=1)
+    k = 11
+    mesh = make_pipeline_mesh()
+    sg, dropped = build_sharded_dbg(
+        mesh, batch.codes, batch.lengths, k=k,
+        route_cap=1 << 10, shard_cap=1 << 10,
+    )
+    assert dropped == 0
+    ref = build_dbg_from_reads(
+        batch.codes, batch.lengths, k=k, add_reverse_complement=False,
+        bucket_shapes=False,
+    )
+
+    g_kmers, g_mult, g_out, g_valid = sg.to_single_device()
+    live = g_kmers != int(SENTINEL)
+    # same node set + multiplicities
+    ref_kmers = np.asarray(ref.kmers)
+    ref_mult = np.asarray(ref.mult)
+    got = dict(zip(g_kmers[live].tolist(), g_mult[live].tolist()))
+    assert got == dict(zip(ref_kmers.tolist(), ref_mult.tolist()))
+
+    # same edges: map global ids -> kmers and compare edge sets
+    ref_out = np.asarray(ref.out)
+    ref_edges = set()
+    for u in range(ref.size):
+        for b in range(4):
+            v = ref_out[u, b]
+            if v >= 0:
+                ref_edges.add((int(ref_kmers[u]), b, int(ref_kmers[v])))
+    got_edges = set()
+    for gid in np.nonzero(live)[0]:
+        for b in range(4):
+            v = g_out[gid, b]
+            if v >= 0:
+                got_edges.add((int(g_kmers[gid]), b, int(g_kmers[v])))
+    assert got_edges == ref_edges
+
+
+def test_frontier_step_expands_correctly():
+    batch = make_reads(n=8, length=50, seed=3)
+    k = 11
+    mesh = make_pipeline_mesh()
+    sg, _ = build_sharded_dbg(
+        mesh, batch.codes, batch.lengths, k=k,
+        route_cap=1 << 10, shard_cap=1 << 10,
+    )
+    g_kmers, _m, g_out, g_valid = sg.to_single_device()
+    live_ids = np.nonzero(g_kmers != int(SENTINEL))[0][:16].astype(np.int32)
+    Q = 32
+    frontier = np.full(Q, -1, dtype=np.int32)
+    frontier[: len(live_ids)] = live_ids
+    nbrs = np.asarray(
+        frontier_step(
+            mesh, sg.kmers, sg.out, sg.valid, jnp.asarray(frontier),
+            route_cap=1 << 8,
+        )
+    )
+    for qi in range(Q):
+        gid = frontier[qi]
+        if gid < 0:
+            assert (nbrs[qi] == -1).all()
+            continue
+        expected = set(int(v) for v in g_out[gid] if v >= 0 and g_valid[v])
+        got = set(int(v) for v in nbrs[qi] if v >= 0)
+        assert got == expected
