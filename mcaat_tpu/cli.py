@@ -116,6 +116,8 @@ def parse_arguments(argv: list[str]) -> Settings:
             i += 1  # handled in the pre-scan
         elif arg == "--debug-pipeline":
             settings.debug_pipeline = True
+        elif arg == "--resume":
+            settings.resume = True
         i += 1
 
     if not input_files and settings.input_files:
@@ -173,7 +175,10 @@ def main(argv: list[str] | None = None) -> int:
 
         run_debug_pipeline(settings)
     else:
-        run_pipeline(settings)
+        run_pipeline(
+            settings,
+            checkpoint_dir=settings.graph_folder if settings.resume else None,
+        )
     return 0
 
 

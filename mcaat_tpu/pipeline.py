@@ -287,32 +287,77 @@ def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResu
     return result
 
 
-def run_pipeline(settings: Settings, verbose: bool = True) -> PipelineResult:
-    """Full release pipeline (≙ src/main.cpp:496-591)."""
+def run_pipeline(
+    settings: Settings,
+    verbose: bool = True,
+    checkpoint_dir: str | None = None,
+) -> PipelineResult:
+    """Full release pipeline (≙ src/main.cpp:496-591).
+
+    With ``checkpoint_dir``, every stage boundary is persisted (graph
+    .npz, cycles/reads JSON) and completed stages are skipped on rerun —
+    first-class stage resume (SURVEY §5; the reference only materializes
+    the graph folder and deletes it at the end).
+    """
+    import os
+
     result = PipelineResult()
     t0 = time.time()
 
-    graph = build_graph_from_settings(settings)
+    ckpt = None
+    if checkpoint_dir:
+        from mcaat_tpu import checkpoint as ckpt
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _ck(name: str) -> str:
+        return os.path.join(checkpoint_dir, name)
+
+    graph_ck = checkpoint_dir and os.path.exists(_ck("graph.npz"))
+    if graph_ck:
+        graph = ckpt.load_graph(_ck("graph.npz"))
+        if verbose:
+            print(f"Graph loaded from checkpoint: {graph.size} nodes")
+    else:
+        graph = build_graph_from_settings(settings)
+        if checkpoint_dir:
+            ckpt.save_graph(_ck("graph.npz"), graph)
+        if verbose:
+            print(f"Graph built: {graph.size} nodes ({time.time() - t0:.2f}s)")
     result.graph = graph
-    if verbose:
-        print(f"Graph built: {graph.size} nodes ({time.time() - t0:.2f}s)")
 
     cfs = settings.cycle_finder_settings
-    graph, cycles_map = find_cycles(
-        graph,
-        threshold_multiplicity=cfs.threshold_multiplicity,
-        cycle_min_length=cfs.cycle_min_length,
-        cycle_max_length=cfs.cycle_max_length,
-        verbose=verbose,
-    )
+    if checkpoint_dir and os.path.exists(_ck("cycles.json")):
+        cycles_map = ckpt.load_cycles(_ck("cycles.json"))
+        graph = ckpt.load_graph(_ck("graph_pruned.npz"))
+        if verbose:
+            print(f"Cycles loaded from checkpoint: {len(cycles_map)} start nodes")
+    else:
+        graph, cycles_map = find_cycles(
+            graph,
+            threshold_multiplicity=cfs.threshold_multiplicity,
+            cycle_min_length=cfs.cycle_min_length,
+            cycle_max_length=cfs.cycle_max_length,
+            verbose=verbose,
+        )
+        if checkpoint_dir:
+            ckpt.save_cycles(_ck("cycles.json"), cycles_map)
+            ckpt.save_graph(_ck("graph_pruned.npz"), graph)
     result.cycles_map = cycles_map
     result.cycles = cycles_map_to_cycles(cycles_map)
     if verbose:
         print(f"Number of nodes in results: {len(cycles_map)}")
         print("🔸STEP 6: Finding relevant reads")
 
-    f1, f2 = settings.fastq_files()
-    reads = get_reads(graph, f1, f2, result.cycles)
+    if checkpoint_dir and os.path.exists(_ck("reads.json")):
+        reads = ckpt.load_reads(_ck("reads.json"))
+        if verbose:
+            print(f"Reads loaded from checkpoint: {len(reads)}")
+    else:
+        f1, f2 = settings.fastq_files()
+        reads = get_reads(graph, f1, f2, result.cycles)
+        if checkpoint_dir:
+            ckpt.save_reads(_ck("reads.json"), reads)
     result.reads = reads
     if verbose:
         print(f"    ▸ Found {len(reads)} reads")

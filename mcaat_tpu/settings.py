@@ -49,6 +49,7 @@ class Settings:
     add_reverse_complement: bool = True  # megahit's graph contains both strands
     deterministic: bool = True  # stable start-node order / canonical output
     debug_pipeline: bool = False  # run the reference's DEBUG-main extension
+    resume: bool = False  # checkpoint stage boundaries into graph_folder
 
     def get_timestamp(self) -> str:
         return datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
