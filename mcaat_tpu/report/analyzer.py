@@ -15,6 +15,8 @@ canonicalization policy for output comparison (SURVEY §7.3 risk 2).
 
 from __future__ import annotations
 
+import numpy as np
+
 from mcaat_tpu.report.fuzz import partial_ratio, ratio
 
 
@@ -96,19 +98,58 @@ class CRISPRAnalyzer:
                 trimmed.append(seq)
         return trimmed
 
+    # above this many spacers, score on device with the batched
+    # bit-parallel kernels (identical results; see report/batched_fuzz.py)
+    BATCH_THRESHOLD = 24
+
     def validate_spacer_diversity(self, sequences: list[str]) -> bool:
+        n = len(sequences)
+        if n == 0:
+            return False
+        if n > self.BATCH_THRESHOLD and all(len(s) <= 64 for s in sequences):
+            from mcaat_tpu.report.batched_fuzz import pairwise_ratio_matrix
+
+            m = pairwise_ratio_matrix(sequences)
+            iu = np.triu_indices(n, 1)
+            scores = m[iu]
+            if scores.size == 0:
+                return False
+            return float(scores.mean()) <= self.mean_similarity
         scores = []
-        for i in range(len(sequences)):
-            for j in range(i + 1, len(sequences)):
+        for i in range(n):
+            for j in range(i + 1, n):
                 scores.append(ratio(sequences[i], sequences[j]))
         if not scores:
             return False
         return sum(scores) / len(scores) <= self.mean_similarity
 
     def filter_substring_spacers(self, spacers: list[str]) -> list[str]:
+        ordered = sorted(spacers, key=len, reverse=True)
+        n = len(ordered)
+        if n > self.BATCH_THRESHOLD and all(len(s) <= 64 for s in ordered):
+            # precompute all candidate-vs-earlier partial ratios in one
+            # device call, then run the same greedy keep scan
+            from mcaat_tpu.report.batched_fuzz import partial_ratio_pairs
+
+            shorts, longs, pair_idx = [], [], []
+            for i in range(n):
+                for j in range(i):
+                    shorts.append(ordered[i])
+                    longs.append(ordered[j])
+                    pair_idx.append((i, j))
+            scores = partial_ratio_pairs(shorts, longs)
+            score_map = {ij: s for ij, s in zip(pair_idx, scores)}
+            filtered: list[str] = []
+            kept_idx: list[int] = []
+            for i in range(n):
+                if any(score_map[(i, j)] >= 90.0 for j in kept_idx):
+                    continue
+                kept_idx.append(i)
+                filtered.append(ordered[i])
+            return filtered
         filtered = []
         kept: list[str] = []
-        for spacer in sorted(spacers, key=len, reverse=True):
+        for spacer in ordered:
             if any(partial_ratio(spacer, k) >= 90.0 for k in kept):
                 continue
             kept.append(spacer)
