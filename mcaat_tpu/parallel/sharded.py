@@ -152,13 +152,13 @@ def sharded_lookup(
         tloc = table_local[0]
         q = queries_local
         n = q.shape[0]
-        owner = jnp.where(q != SENTINEL, (q >> shift).astype(jnp.int32), kp - 1)
+        owner = jnp.where(q != SENTINEL, (q >> shift).astype(jnp.int32), kp)
         # stable sort by owner so we can invert the permutation later
         order = jnp.argsort(owner, stable=True)
         q_sorted = q[order]
         owner_sorted = owner[order]
-        starts = jnp.searchsorted(owner_sorted, jnp.arange(kp, dtype=jnp.int32))
-        ends = jnp.concatenate([starts[1:], jnp.array([n], dtype=starts.dtype)])
+        bounds = jnp.searchsorted(owner_sorted, jnp.arange(kp + 1, dtype=jnp.int32))
+        starts, ends = bounds[:kp], bounds[1:]
         col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
         idx = starts[:, None] + col
         live = idx < ends[:, None]

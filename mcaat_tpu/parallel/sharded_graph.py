@@ -45,6 +45,7 @@ class ShardedDBG:
     kmers: jax.Array  # int64 [kp, T] sorted per shard, SENTINEL pad
     mult: jax.Array  # int32 [kp, T]
     out: jax.Array  # int32 [kp, T, 4] GLOBAL node ids, -1 absent
+    in_: jax.Array  # int32 [kp, T, 4] GLOBAL node ids, -1 absent
     valid: jax.Array  # bool  [kp, T]
 
     @property
@@ -63,6 +64,7 @@ class ShardedDBG:
             np.asarray(self.mult).reshape(kp * T),
             np.asarray(self.out).reshape(kp * T, 4),
             np.asarray(self.valid).reshape(kp * T),
+            np.asarray(self.in_).reshape(kp * T, 4),
         )
 
 
@@ -126,22 +128,76 @@ def build_sharded_dbg_arrays(
                  indices_are_sorted=True)
         )
         out_local = out_flat[: 4 * T].reshape(T, 4)
-        dropped = jax.lax.psum(d23 + d24, ("dp", "kp"))
-        return u23[None], c23[None], out_local[None], dropped
+
+        # ---- in-adjacency: route (v, first_base, u_gid) to owner(v) ----
+        first = ((u24 >> jnp.int64(2 * k)) & jnp.int64(3)).astype(jnp.int64)
+        u_gid = (my_kp.astype(jnp.int32) * T + u_pos_c.astype(jnp.int32)).astype(
+            jnp.int64
+        )
+        key = jnp.where(ok, v, SENTINEL)
+        payload = jnp.where(ok, u_gid * 4 + first, jnp.int64(-1))
+        ownerv = jnp.where(
+            key != SENTINEL, (key >> shift23).astype(jnp.int32), kp
+        )
+        order = jnp.argsort(ownerv, stable=True)
+        key_s = key[order]
+        pay_s = payload[order]
+        owner_s = ownerv[order]
+        bounds = jnp.searchsorted(owner_s, jnp.arange(kp + 1, dtype=jnp.int32))
+        starts, ends = bounds[:kp], bounds[1:]
+        nq = key.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
+        idx = starts[:, None] + col
+        live = idx < ends[:, None]
+        idx_c = jnp.minimum(idx, nq - 1)
+        send_k = jnp.where(live, key_s[idx_c], SENTINEL)
+        send_p = jnp.where(live, pay_s[idx_c], jnp.int64(-1))
+        d_in = jnp.sum(jnp.maximum(ends - starts - route_cap, 0))
+        recv_k = jax.lax.all_to_all(send_k[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
+        recv_p = jax.lax.all_to_all(send_p[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
+        v_pos = jnp.searchsorted(
+            u23, recv_k, method="sort" if recv_k.size >= 4096 else "scan"
+        )
+        v_pos_c = jnp.minimum(v_pos, T - 1)
+        hit = (recv_k != SENTINEL) & (u23[v_pos_c] == recv_k) & (recv_p >= 0)
+        in_slot = jnp.where(
+            hit,
+            v_pos_c.astype(jnp.int32) * 4 + (recv_p & 3).astype(jnp.int32),
+            dump,
+        )
+        in_flat = (
+            jnp.full((4 * T + 1,), -1, dtype=jnp.int32)
+            .at[in_slot]
+            .set(
+                jnp.where(hit, (recv_p >> 2).astype(jnp.int32), -1),
+                unique_indices=True,
+            )
+        )
+        in_local = in_flat[: 4 * T].reshape(T, 4)
+
+        dropped = jax.lax.psum(d23 + d24 + d_in, ("dp", "kp"))
+        return u23[None], c23[None], out_local[None], in_local[None], dropped
 
     fn = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(("dp", "kp"), None), P(("dp", "kp"))),
-        out_specs=(P(None, "kp"), P(None, "kp"), P(None, "kp", None), P()),
+        out_specs=(
+            P(None, "kp"),
+            P(None, "kp"),
+            P(None, "kp", None),
+            P(None, "kp", None),
+            P(),
+        ),
         check_vma=False,
     )
-    kmers, mult, out, dropped = fn(codes, lengths)
+    kmers, mult, out, in_, dropped = fn(codes, lengths)
     kp_n = mesh.shape["kp"]
     return (
         kmers.reshape(kp_n, T),
         mult.reshape(kp_n, T),
         out.reshape(kp_n, T, 4),
+        in_.reshape(kp_n, T, 4),
         dropped,
     )
 
@@ -154,13 +210,13 @@ def _routed_lookup(table_local, queries, kp, shift, route_cap, T, my_kp):
     """
     n = queries.shape[0]
     owner = jnp.where(
-        queries != SENTINEL, (queries >> shift).astype(jnp.int32), kp - 1
+        queries != SENTINEL, (queries >> shift).astype(jnp.int32), kp
     )
     order = jnp.argsort(owner, stable=True)
     q_sorted = queries[order]
     owner_sorted = owner[order]
-    starts = jnp.searchsorted(owner_sorted, jnp.arange(kp, dtype=jnp.int32))
-    ends = jnp.concatenate([starts[1:], jnp.array([n], dtype=starts.dtype)])
+    bounds = jnp.searchsorted(owner_sorted, jnp.arange(kp + 1, dtype=jnp.int32))
+    starts, ends = bounds[:kp], bounds[1:]
     col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
     idx = starts[:, None] + col
     live = idx < ends[:, None]
@@ -192,15 +248,92 @@ def build_sharded_dbg(
     route_cap: int = 1 << 16,
     shard_cap: int = 1 << 16,
 ) -> tuple[ShardedDBG, int]:
-    kmers, mult, out, dropped = build_sharded_dbg_arrays(
+    kmers, mult, out, in_, dropped = build_sharded_dbg_arrays(
         mesh, jnp.asarray(codes), jnp.asarray(lengths), k,
         route_cap=route_cap, shard_cap=shard_cap,
     )
     graph = ShardedDBG(
-        k=k, mesh=mesh, kmers=kmers, mult=mult, out=out,
+        k=k, mesh=mesh, kmers=kmers, mult=mult, out=out, in_=in_,
         valid=kmers != SENTINEL,
     )
     return graph, int(dropped)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "threshold_multiplicity"))
+def sharded_prune_and_candidates(
+    mesh: Mesh,
+    mult: jax.Array,  # [kp, T]
+    out: jax.Array,  # [kp, T, 4] global ids
+    in_: jax.Array,  # [kp, T, 4] global ids
+    valid: jax.Array,  # [kp, T]
+    threshold_multiplicity: int = 20,
+):
+    """Distributed pruning + start-node candidate scan.
+
+    Multiplicity ≤ 1 invalidation is local; the tip-clip fixpoint needs
+    each shard to test its neighbors' validity, which lives on other
+    shards — an ``all_gather`` of the (bit-cheap) valid mask per
+    iteration, with a ``psum``-ed change count as the loop condition.
+    Returns (valid [kp, T], candidate mask [kp, T]).
+    """
+    kp = mesh.shape["kp"]
+    T = mult.shape[1]
+
+    def step(mult_l, out_l, in_l, valid_l):
+        mult_l = mult_l[0]
+        out_l = out_l[0]
+        in_l = in_l[0]
+        v = valid_l[0] & (mult_l > 1)
+        my_kp = jax.lax.axis_index("kp")
+
+        def cond(state):
+            _v, changed = state
+            return changed > 0
+
+        def body(state):
+            v, _ = state
+            vall = jax.lax.all_gather(v, "kp", tiled=True)  # [kp*T] global
+            ok = (out_l >= 0) & vall[jnp.maximum(out_l, 0)]
+            outdeg = jnp.sum(ok, axis=1)
+            tips = v & (outdeg == 0)
+            changed = jax.lax.psum(jnp.sum(tips.astype(jnp.int32)), "kp").astype(jnp.int32)
+            return v & ~tips, changed
+
+        v, _ = jax.lax.while_loop(cond, body, (v, jnp.int32(1)))
+
+        # candidate scan (≙ ChunkStartNodes static predicate)
+        vall = jax.lax.all_gather(v, "kp", tiled=True)
+        in_ok = (in_l >= 0) & vall[jnp.maximum(in_l, 0)]
+        indeg = jnp.sum(in_ok, axis=1)
+        gid = my_kp.astype(jnp.int32) * T + jnp.arange(T, dtype=jnp.int32)
+        self_loop = jnp.any(out_l == gid[:, None], axis=1)
+        cand = (
+            v
+            & (indeg >= 2)
+            & (mult_l > threshold_multiplicity)
+            & ~self_loop
+        )
+        return v[None], cand[None]
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(None, "kp"),
+            P(None, "kp", None),
+            P(None, "kp", None),
+            P(None, "kp"),
+        ),
+        out_specs=(P(None, "kp"), P(None, "kp")),
+        check_vma=False,
+    )
+    v, cand = fn(
+        mult.reshape(1, -1),
+        out.reshape(1, -1, 4),
+        in_.reshape(1, -1, 4),
+        valid.reshape(1, -1),
+    )
+    return v.reshape(kp, T), cand.reshape(kp, T)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
@@ -224,12 +357,12 @@ def frontier_step(
         valid_l = valid_l[0]
         q = frontier_l
         n = q.shape[0]
-        owner = jnp.where(q >= 0, q // T, kp - 1).astype(jnp.int32)
+        owner = jnp.where(q >= 0, q // T, kp).astype(jnp.int32)
         order = jnp.argsort(owner, stable=True)
         q_sorted = q[order]
         owner_sorted = owner[order]
-        starts = jnp.searchsorted(owner_sorted, jnp.arange(kp, dtype=jnp.int32))
-        ends = jnp.concatenate([starts[1:], jnp.array([n], dtype=starts.dtype)])
+        bounds = jnp.searchsorted(owner_sorted, jnp.arange(kp + 1, dtype=jnp.int32))
+        starts, ends = bounds[:kp], bounds[1:]
         col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
         idx = starts[:, None] + col
         live = idx < ends[:, None]

@@ -31,7 +31,7 @@ def test_sharded_build_matches_single_device():
         bucket_shapes=False,
     )
 
-    g_kmers, g_mult, g_out, g_valid = sg.to_single_device()
+    g_kmers, g_mult, g_out, g_valid, g_in = sg.to_single_device()
     live = g_kmers != int(SENTINEL)
     # same node set + multiplicities
     ref_kmers = np.asarray(ref.kmers)
@@ -55,6 +55,52 @@ def test_sharded_build_matches_single_device():
                 got_edges.add((int(g_kmers[gid]), b, int(g_kmers[v])))
     assert got_edges == ref_edges
 
+    # in-adjacency mirrors out-adjacency: u--(b)-->v iff v's in-list at
+    # first-base(u) is u
+    in_edges = set()
+    for gid in np.nonzero(live)[0]:
+        for fb in range(4):
+            u = g_in[gid, fb]
+            if u >= 0:
+                # reconstruct the out base: v's kmer last base
+                b = int(g_kmers[gid]) & 3
+                in_edges.add((int(g_kmers[u]), b, int(g_kmers[gid])))
+    assert in_edges == ref_edges
+
+
+def test_sharded_prune_and_candidates():
+    """Distributed prune must match the single-device prune + scan."""
+    import jax.numpy as jnp
+
+    from mcaat_tpu.parallel.sharded_graph import sharded_prune_and_candidates
+    from mcaat_tpu.prune.prune import prune_graph
+
+    batch = make_reads(n=16, length=60, seed=2)
+    k = 11
+    mesh = make_pipeline_mesh()
+    sg, _ = build_sharded_dbg(
+        mesh, batch.codes, batch.lengths, k=k,
+        route_cap=1 << 10, shard_cap=1 << 10,
+    )
+    v2, cand = sharded_prune_and_candidates(
+        mesh, sg.mult, sg.out, sg.in_, sg.valid, threshold_multiplicity=0
+    )
+    g_kmers, g_mult, g_out, _gv, _gi = sg.to_single_device()
+    v2_flat = np.asarray(v2).reshape(-1)
+
+    ref = build_dbg_from_reads(
+        batch.codes, batch.lengths, k=k, add_reverse_complement=False,
+        bucket_shapes=False,
+    )
+    ref_pruned = prune_graph(ref, verbose=False)
+    ref_valid = {
+        int(km): bool(val)
+        for km, val in zip(np.asarray(ref.kmers), np.asarray(ref_pruned.valid))
+    }
+    live = g_kmers != int(SENTINEL)
+    for gid in np.nonzero(live)[0]:
+        assert bool(v2_flat[gid]) == ref_valid[int(g_kmers[gid])], gid
+
 
 def test_frontier_step_expands_correctly():
     batch = make_reads(n=8, length=50, seed=3)
@@ -64,7 +110,7 @@ def test_frontier_step_expands_correctly():
         mesh, batch.codes, batch.lengths, k=k,
         route_cap=1 << 10, shard_cap=1 << 10,
     )
-    g_kmers, _m, g_out, g_valid = sg.to_single_device()
+    g_kmers, _m, g_out, g_valid, _gi = sg.to_single_device()
     live_ids = np.nonzero(g_kmers != int(SENTINEL))[0][:16].astype(np.int32)
     Q = 32
     frontier = np.full(Q, -1, dtype=np.int32)
