@@ -36,28 +36,20 @@ def _extract_kernel(k: int, codes_ref, lengths_ref, hi_ref, lo_ref):
 
     hi_mask = jnp.uint32((1 << (2 * k - 32)) - 1) if 2 * k > 32 else jnp.uint32(0)
 
-    def body(j, carry):
-        hi, lo = carry  # rolling packed k-mer per row
-        c = codes[:, j]
-        new_hi = ((hi << 2) | (lo >> 30)) & hi_mask
-        new_lo = (lo << 2) | c
+    # statically-unrolled rolling pack over k window offsets: every slice
+    # is static, all ops are full [ROWS, W] vector ops on the VPU
+    hi = jnp.zeros((rows, W), jnp.uint32)
+    lo = jnp.zeros((rows, W), jnp.uint32)
+    for t in range(k):
+        c = codes[:, t : t + W]
+        hi = ((hi << 2) | (lo >> 30)) & hi_mask
+        lo = (lo << 2) | c
 
-        @pl.when(j >= k - 1)
-        def _():
-            w = j - (k - 1)
-            hi_ref[:, w] = new_hi
-            lo_ref[:, w] = new_lo
-
-        return new_hi, new_lo
-
-    jax.lax.fori_loop(
-        0, L, body, (jnp.zeros((rows,), jnp.uint32), jnp.zeros((rows,), jnp.uint32))
-    )
     # mask out-of-range windows with an all-ones sentinel pattern
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
     live = col + k <= lengths[:, None]
-    hi_ref[:, :] = jnp.where(live, hi_ref[:, :], jnp.uint32(0xFFFFFFFF))
-    lo_ref[:, :] = jnp.where(live, lo_ref[:, :], jnp.uint32(0xFFFFFFFF))
+    hi_ref[:, :] = jnp.where(live, hi, jnp.uint32(0xFFFFFFFF))
+    lo_ref[:, :] = jnp.where(live, lo, jnp.uint32(0xFFFFFFFF))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

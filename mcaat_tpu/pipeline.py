@@ -55,6 +55,7 @@ class PipelineResult:
     reads: list[list[int]] = field(default_factory=list)
     found_systems: list[FoundSystem] = field(default_factory=list)
     report_text: str = ""
+    profile: object = None  # utils.profiling.Profiler of the run
 
 
 def build_graph_from_settings(settings: Settings) -> DBG:
@@ -301,6 +302,9 @@ def run_pipeline(
     """
     import os
 
+    from mcaat_tpu.utils.profiling import Profiler
+
+    prof = Profiler()
     result = PipelineResult()
     t0 = time.time()
 
@@ -319,7 +323,9 @@ def run_pipeline(
         if verbose:
             print(f"Graph loaded from checkpoint: {graph.size} nodes")
     else:
-        graph = build_graph_from_settings(settings)
+        with prof.stage("graph_build"):
+            graph = build_graph_from_settings(settings)
+        prof.count("graph_build", nodes=graph.size)
         if checkpoint_dir:
             ckpt.save_graph(_ck("graph.npz"), graph)
         if verbose:
@@ -333,13 +339,15 @@ def run_pipeline(
         if verbose:
             print(f"Cycles loaded from checkpoint: {len(cycles_map)} start nodes")
     else:
-        graph, cycles_map = find_cycles(
-            graph,
-            threshold_multiplicity=cfs.threshold_multiplicity,
-            cycle_min_length=cfs.cycle_min_length,
-            cycle_max_length=cfs.cycle_max_length,
-            verbose=verbose,
-        )
+        with prof.stage("cycle_search"):
+            graph, cycles_map = find_cycles(
+                graph,
+                threshold_multiplicity=cfs.threshold_multiplicity,
+                cycle_min_length=cfs.cycle_min_length,
+                cycle_max_length=cfs.cycle_max_length,
+                verbose=verbose,
+            )
+        prof.count("cycle_search", start_nodes=len(cycles_map))
         if checkpoint_dir:
             ckpt.save_cycles(_ck("cycles.json"), cycles_map)
             ckpt.save_graph(_ck("graph_pruned.npz"), graph)
@@ -355,7 +363,9 @@ def run_pipeline(
             print(f"Reads loaded from checkpoint: {len(reads)}")
     else:
         f1, f2 = settings.fastq_files()
-        reads = get_reads(graph, f1, f2, result.cycles)
+        with prof.stage("read_mapping"):
+            reads = get_reads(graph, f1, f2, result.cycles)
+        prof.count("read_mapping", reads=len(reads))
         if checkpoint_dir:
             ckpt.save_reads(_ck("reads.json"), reads)
     result.reads = reads
@@ -363,7 +373,11 @@ def run_pipeline(
         print(f"    ▸ Found {len(reads)} reads")
         print("🔸STEP 7: Order the spacers")
 
-    graph, found_systems = spacer_ordering_step(graph, reads, result.cycles, verbose)
+    with prof.stage("spacer_ordering"):
+        graph, found_systems = spacer_ordering_step(
+            graph, reads, result.cycles, verbose
+        )
+    prof.count("spacer_ordering", systems=len(found_systems))
     result.graph = graph
     result.found_systems = found_systems
 
@@ -379,8 +393,12 @@ def run_pipeline(
     for fs in found_systems:
         all_systems[fs.repeat] = fs.spacers
     analyzer = CRISPRAnalyzer(all_systems, settings.output_file or "CRISPR_Arrays.txt")
-    result.report_text = analyzer.run_analysis()
+    with prof.stage("report"):
+        result.report_text = analyzer.run_analysis()
+    result.profile = prof
     if verbose:
         print(f"Saved in: {analyzer.output_path}")
+        print("Stage timings:")
+        print(prof.report())
         print(f"Total time: {time.time() - t0:.2f}s")
     return result
