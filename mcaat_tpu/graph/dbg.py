@@ -247,6 +247,7 @@ def build_dbg_from_reads(
     k: int = 23,
     add_reverse_complement: bool = True,
     bucket_shapes: bool = True,
+    chunk_windows: int = 24_000_000,
 ) -> DBG:
     """End-to-end graph build from a padded read-code matrix.
 
@@ -280,10 +281,20 @@ def build_dbg_from_reads(
         codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
         lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
 
-    km23 = extract_kmers(codes_j, lengths_j, k).reshape(-1)
-    km24 = extract_kmers(codes_j, lengths_j, k + 1).reshape(-1)
-    u23, c23, n23 = count_unique(km23)
-    u24, _, n24 = count_unique(km24)
+    n_windows = int(codes_j.shape[0]) * max(int(codes_j.shape[1]) - k, 0)
+    if chunk_windows and n_windows > chunk_windows:
+        # memory-bounded multi-pass counting (single-pass peak would
+        # exceed HBM past ~60M windows on a 16GB chip)
+        from mcaat_tpu.kmer.count import count_unique_chunked
+
+        chunk_rows = max(chunk_windows // max(int(codes_j.shape[1]) - k, 1), 1)
+        u23, c23, n23 = count_unique_chunked(codes_j, lengths_j, k, chunk_rows)
+        u24, _c24u, n24 = count_unique_chunked(codes_j, lengths_j, k + 1, chunk_rows)
+    else:
+        km23 = extract_kmers(codes_j, lengths_j, k).reshape(-1)
+        km24 = extract_kmers(codes_j, lengths_j, k + 1).reshape(-1)
+        u23, c23, n23 = count_unique(km23)
+        u24, _, n24 = count_unique(km24)
     n23_i = int(n23)
     n24_i = int(n24)
     n_keep = _bucket_size(n23_i) if bucket_shapes else n23_i

@@ -76,6 +76,74 @@ def count_unique(kmers_flat: jax.Array):
     return unique, counts, n_unique
 
 
+@jax.jit
+def merge_counted(unique_a, counts_a, unique_b, counts_b):
+    """Merge two (sorted unique, counts) tables into one.
+
+    Concatenate, sort by key carrying counts, and segment-sum runs —
+    the reduction step of the chunked builder.
+    """
+    keys = jnp.concatenate([unique_a, unique_b])
+    cnts = jnp.concatenate([counts_a, counts_b])
+    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
+    n = keys.shape[0]
+    is_head = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    is_head &= keys != SENTINEL
+    n_unique = jnp.sum(is_head.astype(jnp.int32))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    unique = jnp.sort(jnp.where(is_head, keys, SENTINEL))
+    head_idx = jnp.sort(jnp.where(is_head, pos, n))
+    cs = jnp.cumsum(cnts.astype(jnp.int64))
+    cs0 = jnp.concatenate([jnp.zeros((1,), jnp.int64), cs])
+    next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
+    n_live = jnp.sum((keys != SENTINEL).astype(jnp.int32))
+    hi = jnp.minimum(next_head, n_live)
+    lo = jnp.minimum(head_idx, n)
+    counts = jnp.where(
+        pos < n_unique, (cs0[hi] - cs0[lo]).astype(jnp.int32), 0
+    )
+    return unique, counts, n_unique
+
+
+def count_unique_chunked(
+    codes, lengths, k: int, chunk_rows: int
+) -> tuple[jax.Array, jax.Array, int]:
+    """Memory-bounded counting: process reads in row chunks and merge.
+
+    Peak device memory is bounded by one chunk's window count plus the
+    running unique table — this is what lifts the single-pass HBM ceiling
+    (a 62M-window single pass OOMs a 16GB chip; chunks of ~16M windows
+    keep headroom). Returns (unique, counts, n_unique) like count_unique.
+    """
+    import numpy as np
+
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    R = codes.shape[0]
+    acc_u = acc_c = None
+    for lo in range(0, R, chunk_rows):
+        c = jnp.asarray(codes[lo : lo + chunk_rows])
+        l = jnp.asarray(lengths[lo : lo + chunk_rows])
+        km = extract_kmers(c, l, k).reshape(-1)
+        u, cnt, nu = count_unique(km)
+        nu_i = int(nu)
+        u = u[:nu_i]
+        cnt = cnt[:nu_i]
+        if acc_u is None:
+            acc_u, acc_c = u, cnt
+        else:
+            mu, mc, mn = merge_counted(acc_u, acc_c, u, cnt)
+            mn_i = int(mn)
+            acc_u, acc_c = mu[:mn_i], mc[:mn_i]
+    if acc_u is None:
+        return (
+            jnp.zeros((0,), jnp.int64),
+            jnp.zeros((0,), jnp.int32),
+            0,
+        )
+    return acc_u, acc_c, int(acc_u.shape[0])
+
+
 def count_kmers_for_reads(
     codes: np.ndarray, lengths: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
