@@ -37,10 +37,11 @@ def synth_reads(n_reads: int, length: int, seed: int = 0):
 
 @jax.jit
 def build_step(codes, lengths):
-    km23 = extract_kmers(codes, lengths, K).reshape(-1)
-    km24 = extract_kmers(codes, lengths, K + 1).reshape(-1)
-    u23, c23, n23 = count_unique(km23)
-    u24, _c24, n24 = count_unique(km24)
+    # single extraction: the 23-mer multiset is derived from the 24-mer
+    # windows (prefix identity); endpoint lookups are one fused sort-join
+    from mcaat_tpu.kmer.count import count_nodes_and_edges
+
+    u23, c23, n23, u24, n24 = count_nodes_and_edges(codes, lengths, K)
     out, in_ = _build_adjacency(u23, u24, n24)
     return n23, n24, jnp.sum(out >= 0)
 

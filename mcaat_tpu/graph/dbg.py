@@ -157,6 +157,35 @@ def _lookup(table: jax.Array, query: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _join_lookup2(table: jax.Array, q1: jax.Array, q2: jax.Array):
+    """Ranks of two query arrays in a sorted unique table, one fused join.
+
+    One (key, tag)-sort + rank cumsum + one sort-back replaces two
+    independent ``searchsorted(method="sort")`` calls (each of which sorts
+    table+query twice internally) — ~1.5-2x cheaper for the adjacency
+    build where both endpoint lookups share the node table. Misses (and
+    SENTINEL queries / SENTINEL-padded table tails) return -1.
+    """
+    T = table.shape[0]
+    n1 = q1.shape[0]
+    keys = jnp.concatenate([table, q1, q2])
+    n = keys.shape[0]
+    # tag sorts table entries before equal-key queries
+    tag = (jnp.arange(n, dtype=jnp.int32) >= T).astype(jnp.int32)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    _sk, st, so = jax.lax.sort((keys, tag, orig), num_keys=2)
+    rank = jnp.cumsum(1 - st) - 1  # index of last table entry at/below
+    _o, rank_orig = jax.lax.sort((so, rank), num_keys=1)
+
+    def res(q, r):
+        rc = jnp.clip(r, 0, T - 1)
+        hit = (r >= 0) & (table[rc] == q) & (q != SENTINEL)
+        return jnp.where(hit, rc, -1).astype(jnp.int32)
+
+    return res(q1, rank_orig[T : T + n1]), res(q2, rank_orig[T + n1 :])
+
+
+@jax.jit
 def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
     ids_c = jnp.maximum(ids, 0)
     nbrs = adj[ids_c]  # [Q, 4]
@@ -171,31 +200,37 @@ def _degree(adj: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.sum(ok, axis=1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _build_adjacency(
-    kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array, k: int = 23
-):
-    """Scatter unique (k+1)-mers into out/in adjacency over the k-mer table."""
+def _edge_slots(kmers23, edges24, live, k):
+    """Endpoint ids + flat adjacency slots for a (padded) unique edge set."""
     N = kmers23.shape[0]
     mask_k = (jnp.int64(1) << jnp.int64(2 * k)) - 1
-    live = jnp.arange(edges24.shape[0]) < n_edges
 
     u = edges24 >> jnp.int64(2)  # first 23 bases
     v = edges24 & mask_k  # last 23 bases
     last = (edges24 & jnp.int64(3)).astype(jnp.int32)
     first = (edges24 >> jnp.int64(2 * k)).astype(jnp.int32)
 
-    u_id = _lookup(kmers23, u)
-    v_id = _lookup(kmers23, v)
+    u_id, v_id = _join_lookup2(kmers23, u, v)
     ok = live & (u_id >= 0) & (v_id >= 0)
 
-    # Flat 1-D scatters with uniqueness/sortedness hints (the general 2-D
-    # scatter path is ~10x slower on TPU). Each unique 24-mer u·b maps to
-    # a unique flat slot u_id*4+b, and — since the edge integer is
+    # Flat 1-D scatter slots with uniqueness/sortedness hints (the general
+    # 2-D scatter path is ~10x slower on TPU). Each unique 24-mer u·b maps
+    # to a unique flat slot u_id*4+b, and — since the edge integer is
     # e == (u << 2) | b — sorted edges give SORTED out-slots.
     dump = jnp.int32(4 * N)
     out_slot = jnp.where(ok, u_id * 4 + last, dump)
     in_slot = jnp.where(ok, v_id * 4 + first, dump)
+    return ok, out_slot, in_slot, u_id, v_id
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_adjacency(
+    kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array, k: int = 23
+):
+    """Scatter unique (k+1)-mers into out/in adjacency over the k-mer table."""
+    N = kmers23.shape[0]
+    live = jnp.arange(edges24.shape[0]) < n_edges
+    ok, out_slot, in_slot, u_id, v_id = _edge_slots(kmers23, edges24, live, k)
     out = (
         jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
         .at[out_slot]
@@ -209,6 +244,55 @@ def _build_adjacency(
     return out[: 4 * N].reshape(N, 4), in_[: 4 * N].reshape(N, 4)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k",), donate_argnums=(2, 3)
+)
+def _adjacency_scatter_chunk(
+    kmers23, edge_chunk, out_flat, in_flat, n_live, k: int = 23
+):
+    live = jnp.arange(edge_chunk.shape[0]) < n_live
+    ok, out_slot, in_slot, u_id, v_id = _edge_slots(kmers23, edge_chunk, live, k)
+    out_flat = out_flat.at[out_slot].set(
+        jnp.where(ok, v_id, -1), unique_indices=True, indices_are_sorted=True
+    )
+    in_flat = in_flat.at[in_slot].set(
+        jnp.where(ok, u_id, -1), unique_indices=True
+    )
+    return out_flat, in_flat
+
+
+def build_adjacency_chunked(
+    kmers23: jax.Array,
+    edges24,
+    n_edges: int,
+    k: int = 23,
+    chunk_edges: int = 16_000_000,
+):
+    """Memory-bounded adjacency assembly: edge chunks join + scatter in turn.
+
+    The single-shot ``_build_adjacency`` sorts table + both endpoint query
+    arrays together (N + 2E rows); past ~10^8 edges that sort's buffers
+    exceed HBM. Here each chunk joins (N + 2C rows) and scatters into
+    donated accumulator arrays, so peak memory is the node table + one
+    chunk + the [4N] adjacency — the same ceiling as chunked counting.
+    Chunks of the sorted edge table keep the sorted-out-slot property.
+    """
+    N = int(kmers23.shape[0])
+    edges_np = np.asarray(edges24)
+    out_flat = jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
+    in_flat = jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
+    for lo in range(0, max(n_edges, 1), chunk_edges):
+        chunk = edges_np[lo : min(lo + chunk_edges, n_edges)]
+        n_live = chunk.shape[0]
+        if n_live < chunk_edges:
+            pad = np.full(chunk_edges - n_live, np.iinfo(np.int64).max, np.int64)
+            chunk = np.concatenate([chunk, pad])
+        out_flat, in_flat = _adjacency_scatter_chunk(
+            kmers23, jnp.asarray(chunk), out_flat, in_flat, jnp.int32(n_live), k=k
+        )
+    return out_flat[: 4 * N].reshape(N, 4), in_flat[: 4 * N].reshape(N, 4)
+
+
 def build_dbg(
     kmers23: np.ndarray | jax.Array,
     counts23: np.ndarray | jax.Array,
@@ -219,10 +303,14 @@ def build_dbg(
     """Assemble a DBG from a unique sorted 23-mer table and 24-mer edge set."""
     kmers23 = jnp.asarray(kmers23)
     counts23 = jnp.asarray(counts23, dtype=jnp.int32)
-    edges24 = jnp.asarray(edges24)
     if n_edges is None:
         n_edges = int(edges24.shape[0])
-    out, in_ = _build_adjacency(kmers23, edges24, jnp.asarray(n_edges), k=k)
+    if int(n_edges) > 32_000_000:
+        out, in_ = build_adjacency_chunked(kmers23, edges24, int(n_edges), k=k)
+    else:
+        out, in_ = _build_adjacency(
+            kmers23, jnp.asarray(edges24), jnp.asarray(n_edges), k=k
+        )
     valid = jnp.ones((kmers23.shape[0],), dtype=bool)
     return DBG(k=k, kmers=kmers23, mult=counts23, out=out, in_=in_, valid=valid)
 
@@ -285,16 +373,16 @@ def build_dbg_from_reads(
     if chunk_windows and n_windows > chunk_windows:
         # memory-bounded multi-pass counting (single-pass peak would
         # exceed HBM past ~60M windows on a 16GB chip)
-        from mcaat_tpu.kmer.count import count_unique_chunked
+        from mcaat_tpu.kmer.count import count_nodes_and_edges_chunked
 
         chunk_rows = max(chunk_windows // max(int(codes_j.shape[1]) - k, 1), 1)
-        u23, c23, n23 = count_unique_chunked(codes_j, lengths_j, k, chunk_rows)
-        u24, _c24u, n24 = count_unique_chunked(codes_j, lengths_j, k + 1, chunk_rows)
+        u23, c23, n23, u24, n24 = count_nodes_and_edges_chunked(
+            codes_j, lengths_j, k, chunk_rows
+        )
     else:
-        km23 = extract_kmers(codes_j, lengths_j, k).reshape(-1)
-        km24 = extract_kmers(codes_j, lengths_j, k + 1).reshape(-1)
-        u23, c23, n23 = count_unique(km23)
-        u24, _, n24 = count_unique(km24)
+        from mcaat_tpu.kmer.count import count_nodes_and_edges
+
+        u23, c23, n23, u24, n24 = count_nodes_and_edges(codes_j, lengths_j, k)
     n23_i = int(n23)
     n24_i = int(n24)
     n_keep = _bucket_size(n23_i) if bucket_shapes else n23_i

@@ -76,6 +76,50 @@ def count_unique(kmers_flat: jax.Array):
     return unique, counts, n_unique
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_last_kmer(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+    """The last k-window of each read, packed int64 [R]; SENTINEL if len < k."""
+    codes = codes.astype(jnp.int64)
+    R, L = codes.shape
+    start = jnp.maximum(lengths - k, 0).astype(jnp.int32)
+
+    def body(t, acc):
+        col = jnp.minimum(start + t, L - 1)
+        c = jnp.take_along_axis(codes, col[:, None].astype(jnp.int32), axis=1)[:, 0]
+        return (acc << 2) | c
+
+    acc = jax.lax.fori_loop(0, k, body, jnp.zeros((R,), jnp.int64))
+    return jnp.where(lengths >= k, acc, SENTINEL)
+
+
+@jax.jit
+def node_multiset_from_edges(km_k1_flat: jax.Array, last_k: jax.Array) -> jax.Array:
+    """The k-mer window multiset, derived from (k+1)-mer windows.
+
+    Identity: every k-window of a read except the last is the prefix of a
+    (k+1)-window; the last k-window is appended separately. Saves a second
+    full extraction pass + keeps counts exactly equal to extracting the
+    k-windows directly (property-tested).
+    """
+    pref = jnp.where(km_k1_flat == SENTINEL, SENTINEL, km_k1_flat >> 2)
+    return jnp.concatenate([pref, last_k])
+
+
+def count_nodes_and_edges(codes: jax.Array, lengths: jax.Array, k: int):
+    """One-extraction counting of k-mer nodes and (k+1)-mer edges.
+
+    Returns ``(u_k, c_k, n_k, u_k1, n_k1)``. Replaces two independent
+    extract+count passes; the k-mer multiset is derived from the
+    (k+1)-mers (see node_multiset_from_edges).
+    """
+    km1 = extract_kmers(codes, lengths, k + 1).reshape(-1)
+    last = extract_last_kmer(codes, lengths, k)
+    km = node_multiset_from_edges(km1, last)
+    u_k, c_k, n_k = count_unique(km)
+    u_k1, _c, n_k1 = count_unique(km1)
+    return u_k, c_k, n_k, u_k1, n_k1
+
+
 @jax.jit
 def merge_counted(unique_a, counts_a, unique_b, counts_b):
     """Merge two (sorted unique, counts) tables into one.
@@ -142,6 +186,40 @@ def count_unique_chunked(
             0,
         )
     return acc_u, acc_c, int(acc_u.shape[0])
+
+
+def count_nodes_and_edges_chunked(
+    codes, lengths, k: int, chunk_rows: int
+):
+    """Memory-bounded variant of :func:`count_nodes_and_edges`.
+
+    One (k+1)-mer extraction per row chunk feeds both tables; running
+    unique tables are merged per chunk (see count_unique_chunked for the
+    memory rationale). Returns ``(u_k, c_k, n_k, u_k1, n_k1)``.
+    """
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    R = codes.shape[0]
+    acc = {k: None, k + 1: None}  # key -> (unique, counts)
+    for lo in range(0, R, chunk_rows):
+        c = jnp.asarray(codes[lo : lo + chunk_rows])
+        l = jnp.asarray(lengths[lo : lo + chunk_rows])
+        km1 = extract_kmers(c, l, k + 1).reshape(-1)
+        km = node_multiset_from_edges(km1, extract_last_kmer(c, l, k))
+        for kk, flat in ((k, km), (k + 1, km1)):
+            u, cnt, nu = count_unique(flat)
+            nu_i = int(nu)
+            u, cnt = u[:nu_i], cnt[:nu_i]
+            if acc[kk] is None:
+                acc[kk] = (u, cnt)
+            else:
+                mu, mc, mn = merge_counted(acc[kk][0], acc[kk][1], u, cnt)
+                mn_i = int(mn)
+                acc[kk] = (mu[:mn_i], mc[:mn_i])
+    empty = (jnp.zeros((0,), jnp.int64), jnp.zeros((0,), jnp.int32))
+    u_k, c_k = acc[k] if acc[k] is not None else empty
+    u_k1, _ = acc[k + 1] if acc[k + 1] is not None else empty
+    return u_k, c_k, int(u_k.shape[0]), u_k1, int(u_k1.shape[0])
 
 
 def count_kmers_for_reads(

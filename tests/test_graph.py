@@ -118,3 +118,31 @@ def test_degrees_validity_aware():
     outdeg2 = np.asarray(g2.out_degree())
     pred2 = int(np.asarray(g.in_)[pred].max())
     assert outdeg2[pred2] == 0
+
+
+def test_build_adjacency_chunked_matches_single_shot():
+    import jax.numpy as jnp
+
+    from mcaat_tpu.graph.dbg import (
+        _build_adjacency,
+        build_adjacency_chunked,
+    )
+    from mcaat_tpu.kmer.count import count_unique, extract_kmers
+    from mcaat_tpu.io.fastq import encode_sequences
+
+    rng = np.random.default_rng(3)
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(40)]
+    b = encode_sequences(seqs)
+    k = 7
+    km_k = extract_kmers(jnp.asarray(b.codes), jnp.asarray(b.lengths), k).reshape(-1)
+    km_k1 = extract_kmers(jnp.asarray(b.codes), jnp.asarray(b.lengths), k + 1).reshape(-1)
+    u_k, _, n_k = count_unique(km_k)
+    u_k1, _, n_k1 = count_unique(km_k1)
+    n_k_i, n_k1_i = int(n_k), int(n_k1)
+    u_k = u_k[:n_k_i]
+    out_ref, in_ref = _build_adjacency(u_k, u_k1, n_k1, k=k)
+    out_c, in_c = build_adjacency_chunked(
+        u_k, u_k1[:n_k1_i], n_k1_i, k=k, chunk_edges=257
+    )
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(in_c), np.asarray(in_ref))

@@ -46,3 +46,55 @@ def test_counts_k23():
     unique, counts = count_kmers_for_reads(batch.codes, batch.lengths, 23)
     assert len(unique) == len(seqs[0]) - 22
     assert (counts == 4).all()
+
+
+def test_count_nodes_and_edges_matches_two_pass():
+    """Derived node multiset (prefix-of-edge + last window) == direct count.
+
+    Covers len<k (no windows), len==k (one k-window, no edges), len==k+1.
+    """
+    from mcaat_tpu.kmer.count import (
+        count_nodes_and_edges,
+        count_nodes_and_edges_chunked,
+        count_unique,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 5
+    lens = [3, k, k + 1, 9, 30, 17, k, 12, 25, 30]
+    seqs = ["".join(rng.choice(list("ACGT"), size=n)) for n in lens]
+    b = encode_sequences(seqs)
+    codes, lengths = jnp.asarray(b.codes), jnp.asarray(b.lengths)
+
+    km_k = extract_kmers(codes, lengths, k).reshape(-1)
+    km_k1 = extract_kmers(codes, lengths, k + 1).reshape(-1)
+    u_ref, c_ref, n_ref = count_unique(km_k)
+    u1_ref, _, n1_ref = count_unique(km_k1)
+    n_ref, n1_ref = int(n_ref), int(n1_ref)
+
+    for fn in (
+        lambda: count_nodes_and_edges(codes, lengths, k),
+        lambda: count_nodes_and_edges_chunked(codes, lengths, k, chunk_rows=3),
+    ):
+        u, c, n, u1, n1 = fn()
+        assert int(n) == n_ref and int(n1) == n1_ref
+        np.testing.assert_array_equal(np.asarray(u[:n_ref]), np.asarray(u_ref[:n_ref]))
+        np.testing.assert_array_equal(np.asarray(c[:n_ref]), np.asarray(c_ref[:n_ref]))
+        np.testing.assert_array_equal(np.asarray(u1[:n1_ref]), np.asarray(u1_ref[:n1_ref]))
+
+
+def test_join_lookup2_matches_searchsorted():
+    from mcaat_tpu.graph.dbg import _join_lookup2, _lookup
+
+    rng = np.random.default_rng(11)
+    table = np.unique(rng.integers(0, 1 << 46, size=500, dtype=np.int64))
+    # pad table tail with SENTINEL (bucketed builds do this)
+    table = np.concatenate([table, np.full(20, int(SENTINEL), np.int64)])
+    q1 = rng.integers(0, 1 << 46, size=300, dtype=np.int64)
+    q1[:100] = rng.choice(table[:-20], size=100)  # guaranteed hits
+    q2 = rng.integers(0, 1 << 46, size=200, dtype=np.int64)
+    q2[-5:] = int(SENTINEL)  # sentinel queries must miss
+    t, q1, q2 = jnp.asarray(table), jnp.asarray(q1), jnp.asarray(q2)
+    r1, r2 = _join_lookup2(t, q1, q2)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(_lookup(t, q1)))
+    np.testing.assert_array_equal(np.asarray(r2), np.asarray(_lookup(t, q2)))
