@@ -34,6 +34,7 @@ Optional:
   --threshold-multiplicity <int>  Minimum multiplicity threshold for start nodes (default in settings)
   --low-abundance <true|false>    Enable low abundance mode for cycle filtering
   --settings <path>               Path to a key=value settings file (overridden by CLI args)
+  --mesh <auto|off>               Shard the graph build over all visible devices (default: auto)
   --help, -h                      Show this help message
 """
 
@@ -118,6 +119,13 @@ def parse_arguments(argv: list[str]) -> Settings:
             settings.debug_pipeline = True
         elif arg == "--resume":
             settings.resume = True
+        elif arg == "--mesh":
+            i += 1
+            if i >= len(argv):
+                raise RuntimeError("Error: Missing value for --mesh")
+            if argv[i] not in ("auto", "off"):
+                raise RuntimeError("Error: --mesh must be 'auto' or 'off'")
+            settings.mesh = argv[i]
         i += 1
 
     if not input_files and settings.input_files:
@@ -158,6 +166,10 @@ def parse_arguments(argv: list[str]) -> Settings:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from mcaat_tpu.utils.env import honor_cpu_env
+
+    honor_cpu_env()  # a user's JAX_PLATFORMS=cpu must beat sitecustomize
+
     from mcaat_tpu.pipeline import run_pipeline
 
     print("-------------------------------------------------------")

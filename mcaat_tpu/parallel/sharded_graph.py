@@ -400,3 +400,32 @@ def frontier_step(
     )
     return fn(kmers.reshape(1, -1), out.reshape(1, -1, 4), valid.reshape(1, -1),
               frontier)
+
+
+def sharded_dbg_to_dbg(sg: ShardedDBG):
+    """Compact a ShardedDBG into a single-device ``graph.dbg.DBG``.
+
+    Shards own contiguous sorted k-mer ranges, so the concatenated live
+    rows are globally sorted; global ids (shard*T + local) are remapped to
+    compact ranks. Used when the distributed build feeds the host-side
+    combinatorial stages (the reference pipeline shape: heavy build on the
+    mesh, small downstream on one device).
+    """
+    from mcaat_tpu.graph.dbg import DBG
+
+    kmers, mult, out, valid, in_ = sg.to_single_device()
+    live = kmers != int(SENTINEL)
+    new_of_old = np.where(live, np.cumsum(live) - 1, -1).astype(np.int32)
+
+    def remap(adj):
+        a = adj[live]
+        return np.where(a >= 0, new_of_old[np.maximum(a, 0)], -1).astype(np.int32)
+
+    return DBG(
+        k=sg.k,
+        kmers=jnp.asarray(kmers[live]),
+        mult=jnp.asarray(mult[live].astype(np.int32)),
+        out=jnp.asarray(remap(out)),
+        in_=jnp.asarray(remap(in_)),
+        valid=jnp.asarray(valid[live]),
+    )

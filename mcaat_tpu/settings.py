@@ -50,6 +50,7 @@ class Settings:
     deterministic: bool = True  # stable start-node order / canonical output
     debug_pipeline: bool = False  # run the reference's DEBUG-main extension
     resume: bool = False  # checkpoint stage boundaries into graph_folder
+    mesh: str = "auto"  # "auto": shard graph build over all devices; "off": single-device
 
     def get_timestamp(self) -> str:
         return datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
@@ -167,6 +168,8 @@ class Settings:
             dss.repeat_min_length = int(val)
         elif key == "repeat_max_length":
             dss.repeat_max_length = int(val)
+        elif key == "mesh":
+            self.mesh = val
         # unknown keys ignored for forward-compatibility
 
 

@@ -1,6 +1,7 @@
-"""Scale benchmark: graph build at ~100M k-mer instances on one chip
+"""Scale benchmark: graph build up to ~180M k-mer instances on one chip
 (BASELINE config 4 analog: "large synthetic metagenome, sharded graph
-build, reads/s scaling" — single-chip leg)."""
+build, reads/s scaling" — single-chip leg). Large configs exercise the
+chunked counting + chunked adjacency path."""
 
 import time
 
@@ -10,32 +11,22 @@ import mcaat_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-from mcaat_tpu.kmer.count import count_unique, extract_kmers
-from mcaat_tpu.graph.dbg import _build_adjacency
-
-
-@jax.jit
-def build_step(codes, lengths):
-    km23 = extract_kmers(codes, lengths, 23).reshape(-1)
-    km24 = extract_kmers(codes, lengths, 24).reshape(-1)
-    u23, c23, n23 = count_unique(km23)
-    u24, _c24, n24 = count_unique(km24)
-    out, in_ = _build_adjacency(u23, u24, n24)
-    return n23, n24, jnp.sum(out >= 0)
+from mcaat_tpu.graph.dbg import build_dbg_from_reads
 
 
 def run(R, L, label):
     rng = np.random.default_rng(0)
-    codes = jnp.asarray(rng.integers(0, 4, size=(R, L)).astype(np.uint8))
-    lengths = jnp.asarray(np.full(R, L, dtype=np.int32))
-    n_windows = R * (L - 22)
-    r = tuple(int(x) for x in build_step(codes, lengths))  # compile+run
+    codes = rng.integers(0, 4, size=(R, L)).astype(np.uint8)
+    lengths = np.full(R, L, dtype=np.int32)
+    n_windows = 2 * R * (L - 22)  # both strands
+    g = build_dbg_from_reads(codes, lengths)  # compile+run
     t0 = time.perf_counter()
-    r = tuple(int(x) for x in build_step(codes, lengths))
+    g = build_dbg_from_reads(codes, lengths)
     dt = time.perf_counter() - t0
+    n_edges = int(jnp.sum(g.out >= 0))
     print(
-        f"{label}: windows={n_windows/1e6:.0f}M nodes={r[0]/1e6:.1f}M "
-        f"edges={r[1]/1e6:.1f}M time={dt:.2f}s rate={n_windows/dt/1e6:.2f}M kmers/s",
+        f"{label}: windows={n_windows/1e6:.0f}M nodes={g.size/1e6:.1f}M "
+        f"edges={n_edges/1e6:.1f}M time={dt:.2f}s rate={n_windows/dt/1e6:.2f}M kmers/s",
         flush=True,
     )
     try:
@@ -46,9 +37,9 @@ def run(R, L, label):
 
 
 def main():
-    run(100_000, 100, "small (7.8M windows)")
-    run(400_000, 100, "medium (31M windows)")
-    run(800_000, 100, "large (62M windows)")
+    run(100_000, 100, "small (15.6M windows w/ RC)")
+    run(400_000, 100, "medium (62M windows w/ RC)")
+    run(1_200_000, 100, "large (187M windows w/ RC, chunked)")
 
 
 if __name__ == "__main__":

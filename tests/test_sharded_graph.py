@@ -129,3 +129,29 @@ def test_frontier_step_expands_correctly():
         expected = set(int(v) for v in g_out[gid] if v >= 0 and g_valid[v])
         got = set(int(v) for v in nbrs[qi] if v >= 0)
         assert got == expected
+
+
+def test_pipeline_sharded_build_matches_single_device():
+    """The --mesh auto pipeline branch == single-device build (live rows)."""
+    import jax
+
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.pipeline import _build_graph_sharded
+    from mcaat_tpu.settings import Settings
+
+    rng = np.random.default_rng(17)
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(33)]
+    b = encode_sequences(seqs)
+
+    ref = build_dbg_from_reads(b.codes, b.lengths, k=23, add_reverse_complement=True)
+    n = int(np.asarray(ref.valid).sum())
+    got = _build_graph_sharded(b.codes, b.lengths, Settings())
+    assert got is not None
+    assert got.size == n
+    live = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(got.kmers), np.asarray(ref.kmers)[live])
+    np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult)[live])
+    # adjacency ids in ref point into the padded table; live prefix ids match
+    np.testing.assert_array_equal(np.asarray(got.out), np.asarray(ref.out)[live])
+    np.testing.assert_array_equal(np.asarray(got.in_), np.asarray(ref.in_)[live])
