@@ -98,3 +98,14 @@ def test_join_lookup2_matches_searchsorted():
     r1, r2 = _join_lookup2(t, q1, q2)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(_lookup(t, q1)))
     np.testing.assert_array_equal(np.asarray(r2), np.asarray(_lookup(t, q2)))
+
+
+def test_join_lookup2_boundaries():
+    from mcaat_tpu.graph.dbg import _join_lookup2
+
+    table = jnp.asarray(np.array([10, 20, 30], dtype=np.int64))
+    q1 = jnp.asarray(np.array([5, 10, 30, 35, 20], dtype=np.int64))
+    q2 = jnp.asarray(np.array([10, 10, 25], dtype=np.int64))
+    r1, r2 = _join_lookup2(table, q1, q2)
+    np.testing.assert_array_equal(np.asarray(r1), [-1, 0, 2, -1, 1])
+    np.testing.assert_array_equal(np.asarray(r2), [0, 0, -1])
