@@ -37,12 +37,14 @@ def save_graph(path: str, graph: DBG) -> None:
 def load_graph(path: str) -> DBG:
     """≙ SDBG::LoadFromFile."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
+    # adjacency is flat [4N] on device; reshape(-1) also accepts archives
+    # written by older [N,4] builds
     return DBG(
         k=int(data["k"]),
         kmers=jnp.asarray(data["kmers"]),
         mult=jnp.asarray(data["mult"]),
-        out=jnp.asarray(data["out"]),
-        in_=jnp.asarray(data["in_"]),
+        out=jnp.asarray(data["out"].reshape(-1)),
+        in_=jnp.asarray(data["in_"].reshape(-1)),
         valid=jnp.asarray(data["valid"]),
     )
 

@@ -203,8 +203,8 @@ def find_cycles(
     buckets = select_start_nodes(
         graph, threshold_multiplicity, cycle_max_length, verbose=verbose
     )
-    out = np.asarray(graph.out)
-    in_ = np.asarray(graph.in_)
+    out = np.asarray(graph.out).reshape(-1, 4)
+    in_ = np.asarray(graph.in_).reshape(-1, 4)
     valid = np.asarray(graph.valid)
     mult = np.asarray(graph.mult)
 

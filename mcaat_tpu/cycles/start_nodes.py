@@ -34,13 +34,13 @@ from mcaat_tpu.graph.dbg import DBG
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "frontier_cap"))
 def _self_reach_kernel(
-    out: jax.Array,  # int32 [N, 4]
+    out: jax.Array,  # int32 [4N] flat adjacency
     valid: jax.Array,  # bool  [N]
     starts: jax.Array,  # int32 [B]
     max_depth: int,
     frontier_cap: int,
 ):
-    N = out.shape[0]
+    N = out.shape[0] // 4
     B = starts.shape[0]
     F = frontier_cap
     W = (N + 31) // 32
@@ -49,10 +49,12 @@ def _self_reach_kernel(
 
     frontier = jnp.full((B, F), N, dtype=jnp.int32)
     frontier = frontier.at[:, 0].set(jnp.where(live_lane, starts_c, N))
-    visited = jnp.zeros((B, W), dtype=jnp.uint32)
+    # flat [B*W] bitset: per-level membership gather + mark scatter run as
+    # 1-D ops with sorted indices (TPU 2-D scatters are ~10x slower)
+    visited = jnp.zeros((B * W,), dtype=jnp.uint32)
     found = jnp.zeros((B,), dtype=bool)
     overflow = jnp.zeros((B,), dtype=bool)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    row_base = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]
 
     def cond(state):
         depth, frontier, visited, found, overflow = state
@@ -66,7 +68,8 @@ def _self_reach_kernel(
         frontier = jnp.where(found[:, None], N, frontier)
         f_live = frontier < N
         f_idx = jnp.minimum(frontier, N - 1)
-        nbrs = out[f_idx]  # [B, F, 4]
+        slots = (f_idx * 4)[:, :, None] + jnp.arange(4, dtype=jnp.int32)
+        nbrs = out[slots]  # [B, F, 4]
         nbr_live = (nbrs >= 0) & f_live[..., None]
         nbrs_c = jnp.maximum(nbrs, 0)
         nbr_live &= valid[nbrs_c]
@@ -74,33 +77,39 @@ def _self_reach_kernel(
         found = found | jnp.any(nbr_live & (nbrs_c == starts_c[:, None, None]), axis=(1, 2))
 
         flat = jnp.where(nbr_live, nbrs_c, N).reshape(B, 4 * F)
-        # visited filter
-        word = jnp.minimum(flat >> 5, W - 1)
-        bit = (jnp.uint32(1) << (flat & 31).astype(jnp.uint32))
-        seen = (jnp.take_along_axis(visited, word, axis=1) & bit) != 0
-        flat = jnp.where(seen, N, flat)
-        # dedup + compact in one sort: duplicates sort adjacent; bumping
-        # them to N+rank keeps the array sorted, so a second sort is
-        # unnecessary and the N-threshold still marks dead slots
+        # sort first: dedup is adjacent-compare, and the visited gather's
+        # flat indices become sorted (row_base increases by lane, words
+        # nondecreasing within a lane)
         flat = jnp.sort(flat, axis=1)
         dup = jnp.concatenate(
             [jnp.zeros((B, 1), bool), (flat[:, 1:] == flat[:, :-1]) & (flat[:, 1:] < N)],
             axis=1,
         )
-        # count live entries ignoring dups, then shift dups out by a
-        # stable re-sort of keys (dup -> N) — single extra sort of i32
-        flat = jnp.where(dup, N, flat)
+        # visited filter: flat 1-D gather with sorted indices (computed
+        # before nulling dups so the index sequence stays sorted; a dup
+        # entry just re-gathers its predecessor's word)
+        word = jnp.minimum(flat >> 5, W - 1)
+        bit = (jnp.uint32(1) << (flat & 31).astype(jnp.uint32))
+        gidx = (row_base + word).reshape(-1)
+        got = visited.at[gidx].get(indices_are_sorted=True, mode="promise_in_bounds")
+        seen = (got.reshape(B, 4 * F) & bit) != 0
+        # drop dups + seen entries and compact with one more sort
+        flat = jnp.where(dup | seen, N, flat)
         flat = jnp.sort(flat, axis=1)
         n_new = jnp.sum(flat < N, axis=1)
         overflow = overflow | (n_new > F)
         new_frontier = flat[:, :F]
-        # mark visited (values are deduped, so add == or on fresh bits)
+        # mark visited: flat 1-D scatter-add, sorted indices (values are
+        # deduped so bits are fresh; dead slots add 0)
         nf_live = new_frontier < N
         w2 = jnp.minimum(new_frontier >> 5, W - 1)
         b2 = jnp.where(
             nf_live, jnp.uint32(1) << (new_frontier & 31).astype(jnp.uint32), jnp.uint32(0)
         )
-        visited = visited.at[jnp.broadcast_to(rows, w2.shape), w2].add(b2)
+        sidx = (row_base + w2).reshape(-1)
+        visited = visited.at[sidx].add(
+            b2.reshape(-1), indices_are_sorted=True, mode="promise_in_bounds"
+        )
         return depth + 1, new_frontier, visited, found, overflow
 
     _, frontier, visited, found, overflow = jax.lax.while_loop(
@@ -166,7 +175,7 @@ def self_reachable_batch(
         retry = still
 
     if retry:
-        out_h = np.asarray(graph.out)
+        out_h = np.asarray(graph.out).reshape(-1, 4)
         valid_h = np.asarray(graph.valid)
         for i in retry:
             result[i] = _self_reach_host(out_h, valid_h, int(starts[i]), max_depth)
@@ -201,6 +210,21 @@ def _self_reach_host(
     return False
 
 
+@jax.jit
+def _candidate_mask(out, in_, valid, mult, threshold_multiplicity):
+    """Static candidate predicate, one fused pass (src/cycle_finder.cpp:398-411).
+
+    Jitted so no [N,4]-shaped intermediate is ever materialized (TPU pads
+    a minor dim of 4 to 128 lanes in eager op outputs).
+    """
+    from mcaat_tpu.graph.dbg import _degree
+
+    indeg = _degree(in_, valid)
+    ids4 = jnp.arange(out.shape[0], dtype=jnp.int32) >> 2
+    self_loop = jnp.any((out == ids4).reshape(-1, 4), axis=1)
+    return valid & (indeg >= 2) & (mult > threshold_multiplicity) & ~self_loop
+
+
 def select_start_nodes(
     graph: DBG,
     threshold_multiplicity: int,
@@ -212,13 +236,8 @@ def select_start_nodes(
     Bucketing matches the reference: key = ceil(log2(multiplicity)),
     processed in descending order (src/cycle_finder.cpp:414-416,468).
     """
-    indeg = graph.in_degree()
-    self_loop = jnp.any(graph.out == jnp.arange(graph.size, dtype=jnp.int32)[:, None], axis=1)
-    cand_mask = (
-        graph.valid
-        & (indeg >= 2)
-        & (graph.mult > threshold_multiplicity)
-        & ~self_loop
+    cand_mask = _candidate_mask(
+        graph.out, graph.in_, graph.valid, graph.mult, threshold_multiplicity
     )
     cand = np.nonzero(np.asarray(cand_mask))[0].astype(np.int32)
     if verbose:

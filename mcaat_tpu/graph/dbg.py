@@ -11,10 +11,14 @@ at a time, we precompute direct adjacency:
 * ``mult``   int32 ``[N]``  — occurrence count of the k-mer in the input
   (+ reverse-complement strand when enabled, matching megahit's
   both-strand graph; see ``src/main_run_and_debug.cpp:54-56``).
-* ``out``    int32 ``[N,4]`` — out-neighbor id per appended base, -1 if the
-  (k+1)-mer u·b was never observed. An edge exists iff its (k+1)-mer
-  occurs in the reads — same semantics as megahit's edge set.
-* ``in_``    int32 ``[N,4]`` — in-neighbor id per prepended base.
+* ``out``    int32 ``[4N]`` flat — out-neighbor id of node ``v`` per
+  appended base ``b`` at slot ``4v+b``, -1 if the (k+1)-mer v·b was never
+  observed. An edge exists iff its (k+1)-mer occurs in the reads — same
+  semantics as megahit's edge set. Stored FLAT, not ``[N,4]``: TPU tiled
+  layouts pad a minor dim of 4 to the 128-lane width, so a materialized
+  ``[N,4]`` int32 buffer costs 512 bytes/row (32x) in HBM — flat [4N]
+  stays dense. Host-side views reshape to ``[N,4]`` (numpy, unpadded).
+* ``in_``    int32 ``[4N]`` flat — in-neighbor id per prepended base.
 * ``valid``  bool ``[N]``   — the IsValidEdge/SetInvalidEdge mask.
 
 Every query is batched (`lookup(kmers) -> ids`, `outgoing(ids) -> [Q,4]`),
@@ -47,8 +51,8 @@ class DBG:
     k: int
     kmers: jax.Array  # int64 [N] sorted
     mult: jax.Array  # int32 [N]
-    out: jax.Array  # int32 [N, 4]
-    in_: jax.Array  # int32 [N, 4]
+    out: jax.Array  # int32 [4N] flat (slot 4v+b)
+    in_: jax.Array  # int32 [4N] flat
     valid: jax.Array  # bool [N]
 
     # -- pytree plumbing ------------------------------------------------------
@@ -103,8 +107,8 @@ class DBG:
             k=self.k,
             kmers=np.array(self.kmers),
             mult=np.array(self.mult),
-            out=np.array(self.out),
-            in_=np.array(self.in_),
+            out=np.array(self.out).reshape(-1, 4),
+            in_=np.array(self.in_).reshape(-1, 4),
             valid=np.array(self.valid),
         )
 
@@ -192,7 +196,8 @@ def _join_lookup2(table: jax.Array, q1: jax.Array, q2: jax.Array):
 @jax.jit
 def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
     ids_c = jnp.maximum(ids, 0)
-    nbrs = adj[ids_c]  # [Q, 4]
+    slots = ids_c[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
+    nbrs = adj[slots]  # [Q, 4]
     nbr_ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
     nbr_ok &= (ids >= 0)[..., None]
     return jnp.where(nbr_ok, nbrs, -1)
@@ -200,8 +205,9 @@ def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
 
 @jax.jit
 def _degree(adj: jax.Array, valid: jax.Array) -> jax.Array:
+    """Valid-degree per node from a flat [4N] adjacency."""
     ok = (adj >= 0) & valid[jnp.maximum(adj, 0)]
-    return jnp.sum(ok, axis=1).astype(jnp.int32)
+    return jnp.sum(ok.reshape(-1, 4), axis=1).astype(jnp.int32)
 
 
 def _edge_slots(kmers23, edges24, live, k):
@@ -245,7 +251,7 @@ def _build_adjacency(
         .at[in_slot]
         .set(jnp.where(ok, u_id, -1), unique_indices=True)
     )
-    return out[: 4 * N].reshape(N, 4), in_[: 4 * N].reshape(N, 4)
+    return out[: 4 * N], in_[: 4 * N]
 
 
 @functools.partial(
@@ -294,7 +300,7 @@ def build_adjacency_chunked(
         out_flat, in_flat = _adjacency_scatter_chunk(
             kmers23, jnp.asarray(chunk), out_flat, in_flat, jnp.int32(n_live), k=k
         )
-    return out_flat[: 4 * N].reshape(N, 4), in_flat[: 4 * N].reshape(N, 4)
+    return out_flat[: 4 * N], in_flat[: 4 * N]
 
 
 def build_dbg(

@@ -60,12 +60,12 @@ def _grow_region(out, in_, valid, seed_mask, hops: int):
     def body(_, state):
         reached, frontier = state
         fm = frontier & valid  # only valid nodes expand
-        in_c = jnp.maximum(in_, 0)
+        in_c = jnp.maximum(in_, 0)  # flat [4N]
         out_c = jnp.maximum(out, 0)
         # u -> v edge with u in frontier: check v's in-list
-        from_in = jnp.any(fm[in_c] & (in_ >= 0), axis=1)
+        from_in = jnp.any((fm[in_c] & (in_ >= 0)).reshape(-1, 4), axis=1)
         # v -> u edge with u in frontier: check v's out-list
-        from_out = jnp.any(fm[out_c] & (out >= 0), axis=1)
+        from_out = jnp.any((fm[out_c] & (out >= 0)).reshape(-1, 4), axis=1)
         hit = from_in | from_out
         new_frontier = hit & ~reached
         return reached | hit, new_frontier
@@ -204,7 +204,7 @@ def get_crispr_regions_extended_by_k(
 ) -> tuple[DBG, list[Subgraph]]:
     graph = keep_crispr_regions_extended_by_k(graph, k_hops, cycles)
     subgraphs = divide_graph_into_subgraphs(
-        np.asarray(graph.out), np.asarray(graph.valid)
+        np.asarray(graph.out).reshape(-1, 4), np.asarray(graph.valid)
     )
     return graph, subgraphs
 

@@ -44,9 +44,11 @@ class ShardedDBG:
     mesh: Mesh
     kmers: jax.Array  # int64 [kp, T] sorted per shard, SENTINEL pad
     mult: jax.Array  # int32 [kp, T]
-    out: jax.Array  # int32 [kp, T, 4] GLOBAL node ids, -1 absent
-    in_: jax.Array  # int32 [kp, T, 4] GLOBAL node ids, -1 absent
+    out: jax.Array  # int32 [kp, 4T] flat GLOBAL node ids, -1 absent
+    in_: jax.Array  # int32 [kp, 4T] flat GLOBAL node ids, -1 absent
     valid: jax.Array  # bool  [kp, T]
+    # adjacency is flat (slot 4*local+base): a materialized [T,4] int32
+    # buffer on TPU pads the minor dim 4 -> 128 lanes (32x HBM)
 
     @property
     def shard_capacity(self) -> int:
@@ -65,7 +67,7 @@ class ShardedDBG:
             np.asarray(self.out).reshape(kp * T, 4),
             np.asarray(self.valid).reshape(kp * T),
             np.asarray(self.in_).reshape(kp * T, 4),
-        )
+        )  # host reshape to [.,4] is numpy — unpadded
 
 
 @functools.partial(
@@ -127,7 +129,7 @@ def build_sharded_dbg_arrays(
             .set(jnp.where(ok, v_gid, -1), unique_indices=True,
                  indices_are_sorted=True)
         )
-        out_local = out_flat[: 4 * T].reshape(T, 4)
+        out_local = out_flat[: 4 * T]
 
         # ---- in-adjacency: route (v, first_base, u_gid) to owner(v) ----
         first = ((u24 >> jnp.int64(2 * k)) & jnp.int64(3)).astype(jnp.int64)
@@ -173,7 +175,7 @@ def build_sharded_dbg_arrays(
                 unique_indices=True,
             )
         )
-        in_local = in_flat[: 4 * T].reshape(T, 4)
+        in_local = in_flat[: 4 * T]
 
         dropped = jax.lax.psum(d23 + d24 + d_in, ("dp", "kp"))
         return u23[None], c23[None], out_local[None], in_local[None], dropped
@@ -185,8 +187,8 @@ def build_sharded_dbg_arrays(
         out_specs=(
             P(None, "kp"),
             P(None, "kp"),
-            P(None, "kp", None),
-            P(None, "kp", None),
+            P(None, "kp"),
+            P(None, "kp"),
             P(),
         ),
         check_vma=False,
@@ -196,8 +198,8 @@ def build_sharded_dbg_arrays(
     return (
         kmers.reshape(kp_n, T),
         mult.reshape(kp_n, T),
-        out.reshape(kp_n, T, 4),
-        in_.reshape(kp_n, T, 4),
+        out.reshape(kp_n, 4 * T),
+        in_.reshape(kp_n, 4 * T),
         dropped,
     )
 
@@ -263,8 +265,8 @@ def build_sharded_dbg(
 def sharded_prune_and_candidates(
     mesh: Mesh,
     mult: jax.Array,  # [kp, T]
-    out: jax.Array,  # [kp, T, 4] global ids
-    in_: jax.Array,  # [kp, T, 4] global ids
+    out: jax.Array,  # [kp, 4T] flat global ids
+    in_: jax.Array,  # [kp, 4T] flat global ids
     valid: jax.Array,  # [kp, T]
     threshold_multiplicity: int = 20,
 ):
@@ -281,7 +283,7 @@ def sharded_prune_and_candidates(
 
     def step(mult_l, out_l, in_l, valid_l):
         mult_l = mult_l[0]
-        out_l = out_l[0]
+        out_l = out_l[0]  # flat [4T]
         in_l = in_l[0]
         v = valid_l[0] & (mult_l > 1)
         my_kp = jax.lax.axis_index("kp")
@@ -294,7 +296,7 @@ def sharded_prune_and_candidates(
             v, _ = state
             vall = jax.lax.all_gather(v, "kp", tiled=True)  # [kp*T] global
             ok = (out_l >= 0) & vall[jnp.maximum(out_l, 0)]
-            outdeg = jnp.sum(ok, axis=1)
+            outdeg = jnp.sum(ok.reshape(T, 4), axis=1)
             tips = v & (outdeg == 0)
             changed = jax.lax.psum(jnp.sum(tips.astype(jnp.int32)), "kp").astype(jnp.int32)
             return v & ~tips, changed
@@ -304,9 +306,11 @@ def sharded_prune_and_candidates(
         # candidate scan (≙ ChunkStartNodes static predicate)
         vall = jax.lax.all_gather(v, "kp", tiled=True)
         in_ok = (in_l >= 0) & vall[jnp.maximum(in_l, 0)]
-        indeg = jnp.sum(in_ok, axis=1)
-        gid = my_kp.astype(jnp.int32) * T + jnp.arange(T, dtype=jnp.int32)
-        self_loop = jnp.any(out_l == gid[:, None], axis=1)
+        indeg = jnp.sum(in_ok.reshape(T, 4), axis=1)
+        gid4 = my_kp.astype(jnp.int32) * T + (
+            jnp.arange(4 * T, dtype=jnp.int32) >> 2
+        )
+        self_loop = jnp.any((out_l == gid4).reshape(T, 4), axis=1)
         cand = (
             v
             & (indeg >= 2)
@@ -320,8 +324,8 @@ def sharded_prune_and_candidates(
         mesh=mesh,
         in_specs=(
             P(None, "kp"),
-            P(None, "kp", None),
-            P(None, "kp", None),
+            P(None, "kp"),
+            P(None, "kp"),
             P(None, "kp"),
         ),
         out_specs=(P(None, "kp"), P(None, "kp")),
@@ -329,8 +333,8 @@ def sharded_prune_and_candidates(
     )
     v, cand = fn(
         mult.reshape(1, -1),
-        out.reshape(1, -1, 4),
-        in_.reshape(1, -1, 4),
+        out.reshape(1, -1),
+        in_.reshape(1, -1),
         valid.reshape(1, -1),
     )
     return v.reshape(kp, T), cand.reshape(kp, T)
@@ -340,7 +344,7 @@ def sharded_prune_and_candidates(
 def frontier_step(
     mesh: Mesh,
     kmers: jax.Array,  # [kp, T]
-    out: jax.Array,  # [kp, T, 4]
+    out: jax.Array,  # [kp, 4T] flat
     valid: jax.Array,  # [kp, T]
     frontier: jax.Array,  # int32 [Q] global ids (replicated), -1 dead
     route_cap: int = 1 << 14,
@@ -353,7 +357,7 @@ def frontier_step(
     T = kmers.shape[1]
 
     def step(kmers_l, out_l, valid_l, frontier_l):
-        out_l = out_l[0]
+        out_l = out_l[0]  # flat [4T]
         valid_l = valid_l[0]
         q = frontier_l
         n = q.shape[0]
@@ -372,7 +376,7 @@ def frontier_step(
         recv = jax.lax.all_to_all(send[None], "kp", 1, 1, tiled=False)[0]
         flat = recv.reshape(-1)
         loc = jnp.where(flat >= 0, flat % T, 0)
-        nbrs = out_l[loc]  # [kp*cap, 4] global ids
+        nbrs = out_l[(loc * 4)[:, None] + jnp.arange(4, dtype=jnp.int32)]  # [kp*cap, 4]
         nb_ok = (flat >= 0)[:, None] & (nbrs >= 0)
         # validity of a GLOBAL neighbor id is owned elsewhere; the caller
         # filters against its replicated valid view
@@ -394,11 +398,11 @@ def frontier_step(
     fn = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(None, "kp"), P(None, "kp", None), P(None, "kp"), P()),
+        in_specs=(P(None, "kp"), P(None, "kp"), P(None, "kp"), P()),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(kmers.reshape(1, -1), out.reshape(1, -1, 4), valid.reshape(1, -1),
+    return fn(kmers.reshape(1, -1), out.reshape(1, -1), valid.reshape(1, -1),
               frontier)
 
 
@@ -425,7 +429,7 @@ def sharded_dbg_to_dbg(sg: ShardedDBG):
         k=sg.k,
         kmers=jnp.asarray(kmers[live]),
         mult=jnp.asarray(mult[live].astype(np.int32)),
-        out=jnp.asarray(remap(out)),
-        in_=jnp.asarray(remap(in_)),
+        out=jnp.asarray(remap(out).reshape(-1)),
+        in_=jnp.asarray(remap(in_).reshape(-1)),
         valid=jnp.asarray(valid[live]),
     )

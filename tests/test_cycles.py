@@ -81,11 +81,11 @@ def test_select_start_nodes_rejects_self_loop():
 
 def test_enumeration_matches_naive():
     g = two_loop_graph()
-    out = np.asarray(g.out)
+    out = np.asarray(g.out).reshape(-1, 4)
     valid = np.asarray(g.valid)
     finder = CycleFinder(
         out=out,
-        in_=np.asarray(g.in_),
+        in_=np.asarray(g.in_).reshape(-1, 4),
         valid=valid,
         mult=np.asarray(g.mult),
         cycle_min_length=3,
@@ -105,8 +105,8 @@ def test_enumeration_matches_naive():
 def test_enumeration_min_length_excludes():
     g = two_loop_graph()
     finder = CycleFinder(
-        out=np.asarray(g.out),
-        in_=np.asarray(g.in_),
+        out=np.asarray(g.out).reshape(-1, 4),
+        in_=np.asarray(g.in_).reshape(-1, 4),
         valid=np.asarray(g.valid),
         mult=np.asarray(g.mult),
         cycle_min_length=6,  # cycles have exactly 6 nodes; need > 6 -> none
@@ -118,8 +118,8 @@ def test_enumeration_min_length_excludes():
 def test_visited_suppression():
     g = two_loop_graph()
     finder = CycleFinder(
-        out=np.asarray(g.out),
-        in_=np.asarray(g.in_),
+        out=np.asarray(g.out).reshape(-1, 4),
+        in_=np.asarray(g.in_).reshape(-1, 4),
         valid=np.asarray(g.valid),
         mult=np.asarray(g.mult),
         cycle_min_length=3,
@@ -136,8 +136,8 @@ def test_mult_ratio_filter():
     edges = {0: [1], 1: [2], 2: [0]}
     g = make_graph(edges, 3, mult=[100000, 100, 100])
     finder = CycleFinder(
-        out=np.asarray(g.out),
-        in_=np.asarray(g.in_),
+        out=np.asarray(g.out).reshape(-1, 4),
+        in_=np.asarray(g.in_).reshape(-1, 4),
         valid=np.asarray(g.valid),
         mult=np.asarray(g.mult),
         cycle_min_length=1,
@@ -147,8 +147,8 @@ def test_mult_ratio_filter():
 
     g2 = make_graph(edges, 3, mult=[1000, 100, 100])
     finder2 = CycleFinder(
-        out=np.asarray(g2.out),
-        in_=np.asarray(g2.in_),
+        out=np.asarray(g2.out).reshape(-1, 4),
+        in_=np.asarray(g2.in_).reshape(-1, 4),
         valid=np.asarray(g2.valid),
         mult=np.asarray(g2.mult),
         cycle_min_length=1,

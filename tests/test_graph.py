@@ -38,7 +38,7 @@ def test_build_matches_model():
         assert table[idx] == encode_kmer(km)
         assert mult[idx] == cnt
     # adjacency matches the (k+1)-mer edge set exactly
-    out = np.asarray(g.out)
+    out = np.asarray(g.out).reshape(-1, 4)
     ids = {km: int(np.searchsorted(table, encode_kmer(km))) for km in nodes}
     for km in nodes:
         u = ids[km]
@@ -79,7 +79,7 @@ def test_bucketed_build_equivalent():
     n = exact.size
     assert padded.size >= n
     assert (np.asarray(padded.kmers[:n]) == np.asarray(exact.kmers)).all()
-    assert (np.asarray(padded.out[:n]) == np.asarray(exact.out)).all()
+    assert (np.asarray(padded.out[: 4 * n]) == np.asarray(exact.out)).all()
     assert (np.asarray(padded.mult[:n]) == np.asarray(exact.mult)).all()
     assert not np.asarray(padded.valid[n:]).any()
     # padded-tail SENTINEL entries never match lookups
@@ -113,10 +113,10 @@ def test_degrees_validity_aware():
     assert (outdeg == 0).sum() == 1 and (indeg == 0).sum() == 1
     # invalidate the sink's predecessor -> predecessor's predecessor outdeg drops
     sink = int(np.nonzero(outdeg == 0)[0][0])
-    pred = int(np.asarray(g.in_)[sink].max())
+    pred = int(np.asarray(g.in_).reshape(-1, 4)[sink].max())
     g2 = g.set_invalid(np.arange(g.size) == pred)
     outdeg2 = np.asarray(g2.out_degree())
-    pred2 = int(np.asarray(g.in_)[pred].max())
+    pred2 = int(np.asarray(g.in_).reshape(-1, 4)[pred].max())
     assert outdeg2[pred2] == 0
 
 

@@ -51,8 +51,8 @@ def test_enumerate_matches_python():
     from tests.test_cycles import two_loop_graph
 
     g = two_loop_graph()
-    out = np.asarray(g.out)
-    in_ = np.asarray(g.in_)
+    out = np.asarray(g.out).reshape(-1, 4)
+    in_ = np.asarray(g.in_).reshape(-1, 4)
     valid = np.asarray(g.valid)
     mult = np.asarray(g.mult)
 
@@ -72,7 +72,7 @@ def test_enumerate_visited_suppression():
 
     g = two_loop_graph()
     native = enumerate_cycles(
-        np.asarray(g.out), np.asarray(g.in_), np.asarray(g.valid),
+        np.asarray(g.out).reshape(-1, 4), np.asarray(g.in_).reshape(-1, 4), np.asarray(g.valid),
         np.asarray(g.mult), np.array([0, 1], dtype=np.int64), 3, 10,
     )
     assert 0 in native and len(native[0]) >= 2
@@ -85,7 +85,7 @@ def test_enumerate_mult_ratio():
     edges = {0: [1], 1: [2], 2: [0]}
     g = make_graph(edges, 3, mult=[100000, 100, 100])
     native = enumerate_cycles(
-        np.asarray(g.out), np.asarray(g.in_), np.asarray(g.valid),
+        np.asarray(g.out).reshape(-1, 4), np.asarray(g.in_).reshape(-1, 4), np.asarray(g.valid),
         np.asarray(g.mult), np.array([0], dtype=np.int64), 1, 10,
     )
     assert native.get(0, []) == []

@@ -24,8 +24,8 @@ def make_graph(out_edges: dict[int, list[int]], n: int, mult=None) -> DBG:
         k=23,
         kmers=jnp.arange(n, dtype=jnp.int64),
         mult=jnp.asarray(mult, dtype=jnp.int32),
-        out=jnp.asarray(out),
-        in_=jnp.asarray(in_),
+        out=jnp.asarray(out.reshape(-1)),
+        in_=jnp.asarray(in_.reshape(-1)),
         valid=jnp.ones(n, dtype=bool),
     )
 

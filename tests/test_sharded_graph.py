@@ -40,7 +40,7 @@ def test_sharded_build_matches_single_device():
     assert got == dict(zip(ref_kmers.tolist(), ref_mult.tolist()))
 
     # same edges: map global ids -> kmers and compare edge sets
-    ref_out = np.asarray(ref.out)
+    ref_out = np.asarray(ref.out).reshape(-1, 4)
     ref_edges = set()
     for u in range(ref.size):
         for b in range(4):
@@ -153,5 +153,5 @@ def test_pipeline_sharded_build_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got.kmers), np.asarray(ref.kmers)[live])
     np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult)[live])
     # adjacency ids in ref point into the padded table; live prefix ids match
-    np.testing.assert_array_equal(np.asarray(got.out), np.asarray(ref.out)[live])
-    np.testing.assert_array_equal(np.asarray(got.in_), np.asarray(ref.in_)[live])
+    np.testing.assert_array_equal(np.asarray(got.out).reshape(-1, 4), np.asarray(ref.out).reshape(-1, 4)[live])
+    np.testing.assert_array_equal(np.asarray(got.in_).reshape(-1, 4), np.asarray(ref.in_).reshape(-1, 4)[live])
