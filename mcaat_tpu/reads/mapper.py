@@ -48,20 +48,26 @@ def chains_from_ids(
     k: int,
     cycle_nodes: set[int],
 ) -> list[list[int]]:
-    """Filter + materialize node chains (≙ get_read_from_sequence)."""
-    chains: list[list[int]] = []
-    for r in range(ids.shape[0]):
-        if int(lengths[r]) <= 2 * k:
-            continue
-        w = int(n_windows[r])
-        if w <= 0:
-            continue
-        first = int(ids[r, 0])
-        last = int(ids[r, w - 1])
-        if first not in cycle_nodes and last not in cycle_nodes:
-            continue
-        chains.append([int(x) for x in ids[r, :w]])
-    return chains
+    """Filter + materialize node chains (≙ get_read_from_sequence).
+
+    The keep predicate (first-or-last window node in the cycle set,
+    src/reads.cpp:74-76) is evaluated vectorized over all reads; only the
+    (rare) kept reads are materialized as Python lists.
+    """
+    R = ids.shape[0]
+    if R == 0 or ids.shape[1] == 0:
+        return []
+    lengths = np.asarray(lengths)
+    n_windows = np.asarray(n_windows)
+    firsts = ids[:, 0]
+    lasts = ids[np.arange(R), np.clip(n_windows - 1, 0, ids.shape[1] - 1)]
+    cyc = np.fromiter(cycle_nodes, dtype=np.int64, count=len(cycle_nodes))
+    cyc.sort()
+    eligible = (lengths > 2 * k) & (n_windows > 0)
+    keep = eligible & (np.isin(firsts, cyc) | np.isin(lasts, cyc))
+    return [
+        ids[r, : int(n_windows[r])].tolist() for r in np.nonzero(keep)[0]
+    ]
 
 
 def get_reads(
@@ -85,24 +91,35 @@ def get_reads(
 
 
 def _map_sequences(
-    graph: DBG, sequences: list[str], cycle_nodes: set[int]
+    graph: DBG,
+    sequences: list[str],
+    cycle_nodes: set[int],
+    chunk_reads: int = 1 << 20,
 ) -> list[list[int]]:
+    """Batched window lookup in read blocks (memory-bounded at scale)."""
     if not sequences:
         return []
     from mcaat_tpu.graph.dbg import _bucket_size
 
-    batch = encode_sequences(sequences, pad_to_multiple=32)
-    # bucket the row count so repeat runs reuse compiled programs;
-    # zero-length pad rows produce no windows and are filtered out
-    R = batch.num_reads
-    R_pad = _bucket_size(R)
-    if R_pad > R:
-        codes = np.zeros((R_pad, batch.max_len), dtype=np.uint8)
-        codes[:R] = batch.codes
-        lengths = np.zeros((R_pad,), dtype=np.int32)
-        lengths[:R] = batch.lengths
-        batch = ReadBatch(codes=codes, lengths=lengths)
-    ids, n_windows = map_reads_to_nodes(graph, batch)
-    return chains_from_ids(
-        ids[:R], n_windows[:R], batch.lengths[:R], graph.k, cycle_nodes
-    )
+    chains: list[list[int]] = []
+    for lo in range(0, len(sequences), chunk_reads):
+        batch = encode_sequences(
+            sequences[lo : lo + chunk_reads], pad_to_multiple=32
+        )
+        # bucket the row count so repeat runs reuse compiled programs;
+        # zero-length pad rows produce no windows and are filtered out
+        R = batch.num_reads
+        R_pad = _bucket_size(R)
+        if R_pad > R:
+            codes = np.zeros((R_pad, batch.max_len), dtype=np.uint8)
+            codes[:R] = batch.codes
+            lengths = np.zeros((R_pad,), dtype=np.int32)
+            lengths[:R] = batch.lengths
+            batch = ReadBatch(codes=codes, lengths=lengths)
+        ids, n_windows = map_reads_to_nodes(graph, batch)
+        chains.extend(
+            chains_from_ids(
+                ids[:R], n_windows[:R], batch.lengths[:R], graph.k, cycle_nodes
+            )
+        )
+    return chains
