@@ -142,6 +142,11 @@ def self_reachable_batch(
     cap1 = min(frontier_cap, _pow2ceil(graph.size))
     cap2 = min(frontier_cap * 16, _pow2ceil(graph.size))
     batch = min(batch, _pow2ceil(n))
+    # per-lane visited bitset is N/32 words; cap the total at ~1 GiB so
+    # big graphs don't OOM (throughput per candidate is ~flat in B anyway)
+    words_per_lane = (graph.size + 31) // 32
+    max_lanes = max(int((1 << 28) // max(words_per_lane, 1)), 16)
+    batch = min(batch, 1 << (max_lanes.bit_length() - 1))  # pow2 floor
 
     retry: list[int] = []
     for lo in range(0, n, batch):

@@ -149,6 +149,22 @@ def merge_counted(unique_a, counts_a, unique_b, counts_b):
     return unique, counts, n_unique
 
 
+def _bucket_slice(u: jax.Array, c: jax.Array, n: int):
+    """Slice (u, c) down to the bucketed size >= n live rows.
+
+    Bucketed (not exact) sizes mean successive chunk merges hit a handful
+    of compiled shapes instead of one fresh compile per chunk — compiles
+    over the remote TPU service cost minutes each.
+    """
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    size = min(_bucket_size(max(n, 1)), int(u.shape[0]))
+    u, c = u[:size], c[:size]
+    if size < n:  # cannot happen (bucket >= n), defensive
+        raise AssertionError((size, n))
+    return u, c, size
+
+
 def count_unique_chunked(
     codes, lengths, k: int, chunk_rows: int
 ) -> tuple[jax.Array, jax.Array, int]:
@@ -165,27 +181,29 @@ def count_unique_chunked(
     lengths = np.asarray(lengths)
     R = codes.shape[0]
     acc_u = acc_c = None
+    n_acc = 0
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
         l = jnp.asarray(lengths[lo : lo + chunk_rows])
         km = extract_kmers(c, l, k).reshape(-1)
         u, cnt, nu = count_unique(km)
         nu_i = int(nu)
-        u = u[:nu_i]
-        cnt = cnt[:nu_i]
+        # bucket the kept slice: exact sizes would give every chunk merge
+        # a fresh shape -> a fresh (minutes-long, remote) TPU compile
+        u, cnt, _ = _bucket_slice(u, cnt, nu_i)
         if acc_u is None:
-            acc_u, acc_c = u, cnt
+            acc_u, acc_c, n_acc = u, cnt, nu_i
         else:
             mu, mc, mn = merge_counted(acc_u, acc_c, u, cnt)
-            mn_i = int(mn)
-            acc_u, acc_c = mu[:mn_i], mc[:mn_i]
+            n_acc = int(mn)
+            acc_u, acc_c, _ = _bucket_slice(mu, mc, n_acc)
     if acc_u is None:
         return (
             jnp.zeros((0,), jnp.int64),
             jnp.zeros((0,), jnp.int32),
             0,
         )
-    return acc_u, acc_c, int(acc_u.shape[0])
+    return acc_u[:n_acc], acc_c[:n_acc], n_acc
 
 
 def count_nodes_and_edges_chunked(
@@ -200,7 +218,7 @@ def count_nodes_and_edges_chunked(
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     R = codes.shape[0]
-    acc = {k: None, k + 1: None}  # key -> (unique, counts)
+    acc = {k: None, k + 1: None}  # key -> (unique, counts, n_live)
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
         l = jnp.asarray(lengths[lo : lo + chunk_rows])
@@ -209,17 +227,22 @@ def count_nodes_and_edges_chunked(
         for kk, flat in ((k, km), (k + 1, km1)):
             u, cnt, nu = count_unique(flat)
             nu_i = int(nu)
-            u, cnt = u[:nu_i], cnt[:nu_i]
+            # bucketed slices keep merge shapes stable across chunks (see
+            # count_unique_chunked)
+            u, cnt, _ = _bucket_slice(u, cnt, nu_i)
             if acc[kk] is None:
-                acc[kk] = (u, cnt)
+                acc[kk] = (u, cnt, nu_i)
             else:
                 mu, mc, mn = merge_counted(acc[kk][0], acc[kk][1], u, cnt)
                 mn_i = int(mn)
-                acc[kk] = (mu[:mn_i], mc[:mn_i])
-    empty = (jnp.zeros((0,), jnp.int64), jnp.zeros((0,), jnp.int32))
-    u_k, c_k = acc[k] if acc[k] is not None else empty
-    u_k1, _ = acc[k + 1] if acc[k + 1] is not None else empty
-    return u_k, c_k, int(u_k.shape[0]), u_k1, int(u_k1.shape[0])
+                bu, bc, _ = _bucket_slice(mu, mc, mn_i)
+                acc[kk] = (bu, bc, mn_i)
+    empty = (jnp.zeros((0,), jnp.int64), jnp.zeros((0,), jnp.int32), 0)
+    u_k, c_k, n_k = acc[k] if acc[k] is not None else empty
+    u_k1, _, n_k1 = acc[k + 1] if acc[k + 1] is not None else empty
+    # tails beyond n are SENTINEL/0 (same contract as count_nodes_and_edges,
+    # whose outputs are padded to the full window count)
+    return u_k, c_k, n_k, u_k1, n_k1
 
 
 def count_kmers_for_reads(
