@@ -303,6 +303,48 @@ def build_adjacency_chunked(
     return out_flat[: 4 * N], in_flat[: 4 * N]
 
 
+@functools.partial(jax.jit, static_argnames=("n_keep", "k"))
+def _adjacency_from_instances(
+    inst_id: jax.Array,  # int32 [R, W] node id of each k-window instance
+    codes: jax.Array,  # uint8 [R, L]
+    lengths: jax.Array,  # int32 [R]
+    n_keep: int,
+    k: int = 23,
+):
+    """Adjacency by direct instance scatters — no edge dedup, no join.
+
+    Consecutive k-window instances of a read ARE its (k+1)-mer edges, and
+    both endpoints of every observed edge are *guaranteed present* in the
+    node table (each is itself a counted window), so the unique-(k+1)-mer
+    table and the endpoint join are unnecessary work: scatter
+    ``out[4*id(p) + base(p+k)] = id(p+1)`` per instance. Duplicate edge
+    instances write identical values, so scatter order is immaterial
+    (deterministic result). Same edge semantics as megahit — an edge
+    exists iff its (k+1)-mer occurs (src/sdbg_build.cpp:216 ``-m 1``).
+    """
+    R, W = inst_id.shape
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (R, W - 1), 1)
+    live = p_iota < (lengths[:, None] - k)  # window p+1 still in the read
+    u_id = inst_id[:, :-1]
+    v_id = inst_id[:, 1:]
+    b_app = codes[:, k : k + W - 1].astype(jnp.int32)
+    b_first = codes[:, : W - 1].astype(jnp.int32)
+    dump = jnp.int32(4 * n_keep)
+    out_slot = jnp.where(live, u_id * 4 + b_app, dump).reshape(-1)
+    in_slot = jnp.where(live, v_id * 4 + b_first, dump).reshape(-1)
+    out = (
+        jnp.full((4 * n_keep + 1,), -1, jnp.int32)
+        .at[out_slot]
+        .set(jnp.where(live, v_id, -1).reshape(-1), mode="promise_in_bounds")
+    )[: 4 * n_keep]
+    in_ = (
+        jnp.full((4 * n_keep + 1,), -1, jnp.int32)
+        .at[in_slot]
+        .set(jnp.where(live, u_id, -1).reshape(-1), mode="promise_in_bounds")
+    )[: 4 * n_keep]
+    return out, in_
+
+
 def build_dbg(
     kmers23: np.ndarray | jax.Array,
     counts23: np.ndarray | jax.Array,
@@ -339,6 +381,15 @@ def _bucket_size(n: int) -> int:
     return 2 * p
 
 
+# Single-pass build engine. "join": fused (key,tag) sort-join over unique
+# edges (default). "inst": scatter adjacency straight from the counting
+# sort's per-instance ids — algorithmically less work (no 24-mer dedup, no
+# join) but measured 30x SLOWER on v5e: its adjacency scatters have
+# non-unique random indices (duplicate edge instances), which XLA-TPU
+# lowers to a serialized scatter. Kept as a tested reference formulation.
+BUILD_ENGINE = "join"
+
+
 def build_dbg_from_reads(
     codes: np.ndarray,
     lengths: np.ndarray,
@@ -346,6 +397,7 @@ def build_dbg_from_reads(
     add_reverse_complement: bool = True,
     bucket_shapes: bool = True,
     chunk_windows: int = 24_000_000,
+    engine: str | None = None,
 ) -> DBG:
     """End-to-end graph build from a padded read-code matrix.
 
@@ -380,6 +432,8 @@ def build_dbg_from_reads(
         lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
 
     n_windows = int(codes_j.shape[0]) * max(int(codes_j.shape[1]) - k, 0)
+    if engine is None:
+        engine = BUILD_ENGINE
     if chunk_windows and n_windows > chunk_windows:
         # memory-bounded multi-pass counting (single-pass peak would
         # exceed HBM past ~60M windows on a 16GB chip)
@@ -388,6 +442,27 @@ def build_dbg_from_reads(
         chunk_rows = max(chunk_windows // max(int(codes_j.shape[1]) - k, 1), 1)
         u23, c23, n23, u24, n24 = count_nodes_and_edges_chunked(
             codes_j, lengths_j, k, chunk_rows
+        )
+    elif engine == "inst":
+        from mcaat_tpu.kmer.count import count_unique_with_ids
+
+        km = extract_kmers(codes_j, lengths_j, k)
+        R, W = km.shape
+        u23, c23, n23, inst_id = count_unique_with_ids(km.reshape(-1))
+        n23_i = int(n23)
+        n_keep = _bucket_size(n23_i) if bucket_shapes else n23_i
+        n_keep = min(n_keep, int(u23.shape[0]))
+        out, in_ = _adjacency_from_instances(
+            inst_id.reshape(R, W), codes_j, lengths_j, n_keep, k=k
+        )
+        valid = jnp.arange(n_keep) < n23_i
+        return DBG(
+            k=k,
+            kmers=u23[:n_keep],
+            mult=c23[:n_keep],
+            out=out,
+            in_=in_,
+            valid=valid,
         )
     else:
         from mcaat_tpu.kmer.count import count_nodes_and_edges

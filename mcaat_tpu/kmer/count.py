@@ -76,6 +76,43 @@ def count_unique(kmers_flat: jax.Array):
     return unique, counts, n_unique
 
 
+@jax.jit
+def count_unique_with_ids(kmers_flat: jax.Array):
+    """Like :func:`count_unique`, plus each instance's id in the unique table.
+
+    One payload-carrying sort gives both the unique sorted table and, for
+    every input position, the rank of its value — the node id. This is
+    what lets the adjacency build skip the (k+1)-mer dedup + join
+    entirely: consecutive window instances ARE the edges (see
+    ``graph.dbg._adjacency_from_instances``).
+
+    Returns ``(unique_sorted, counts, n_unique, inst_id)``; ``inst_id`` is
+    int32 [n] aligned with the input order (sentinel inputs get an
+    arbitrary in-range id — callers mask them).
+    """
+    n = kmers_flat.shape[0]
+    orig = jnp.arange(n, dtype=jnp.int32)
+    s, so = jax.lax.sort((kmers_flat, orig), num_keys=1)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    is_head &= s != SENTINEL
+    n_live = jnp.sum((s != SENTINEL).astype(jnp.int32))
+    n_unique = jnp.sum(is_head.astype(jnp.int32))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    unique = jnp.sort(jnp.where(is_head, s, SENTINEL))
+    head_idx = jnp.sort(jnp.where(is_head, pos, n))
+    next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
+    counts = jnp.where(
+        pos < n_unique,
+        jnp.minimum(next_head, n_live) - head_idx,
+        0,
+    ).astype(jnp.int32)
+    rank = (jnp.cumsum(is_head.astype(jnp.int32)) - 1).astype(jnp.int32)
+    inst_id = jnp.zeros((n,), jnp.int32).at[so].set(
+        rank, unique_indices=True, mode="promise_in_bounds"
+    )
+    return unique, counts, n_unique, inst_id
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def extract_last_kmer(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     """The last k-window of each read, packed int64 [R]; SENTINEL if len < k."""

@@ -51,6 +51,39 @@ def test_build_matches_model():
                 assert out[u, b_i] == -1
 
 
+def test_build_engines_identical():
+    """inst (instance-scatter) and join (fused sort-join) build the same graph."""
+    rng = np.random.default_rng(11)
+    seqs = [
+        "".join("ACGT"[i] for i in rng.integers(0, 4, size=rng.integers(20, 90)))
+        for _ in range(40)
+    ]
+    # duplicates force multiplicity > 1 and repeated edges
+    seqs += seqs[:10]
+    batch = encode_sequences(seqs)
+    for rc in (False, True):
+        for bucket in (False, True):
+            a = build_dbg_from_reads(
+                batch.codes, batch.lengths, k=23,
+                add_reverse_complement=rc, bucket_shapes=bucket, engine="inst",
+            )
+            b = build_dbg_from_reads(
+                batch.codes, batch.lengths, k=23,
+                add_reverse_complement=rc, bucket_shapes=bucket, engine="join",
+            )
+            assert a.size == b.size
+            n = int(np.sum(np.asarray(a.valid)))
+            assert n == int(np.sum(np.asarray(b.valid)))
+            np.testing.assert_array_equal(np.asarray(a.kmers)[:n], np.asarray(b.kmers)[:n])
+            np.testing.assert_array_equal(np.asarray(a.mult)[:n], np.asarray(b.mult)[:n])
+            np.testing.assert_array_equal(
+                np.asarray(a.out)[: 4 * n], np.asarray(b.out)[: 4 * n]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a.in_)[: 4 * n], np.asarray(b.in_)[: 4 * n]
+            )
+
+
 def test_rc_strand_included():
     seq = "ACGTTGCAACGGTCCAGTTTACGCATCGAT"
     batch = encode_sequences([seq])
