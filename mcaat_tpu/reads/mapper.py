@@ -15,8 +15,10 @@ Mate-2 sequences are reverse-complemented before mapping
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,6 +92,31 @@ def get_reads(
     return chains
 
 
+def _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k: int):
+    """Device-side keep predicate (first/last window node in the cycle
+    set, src/reads.cpp:74-76). Evaluating it on device means only the
+    (rare) kept rows ever cross to the host — at scale the [R, W] id
+    matrix transfer is the read-mapping bottleneck, not the lookup."""
+    firsts = ids[:, 0]
+    W = ids.shape[1]
+    last_idx = jnp.clip(n_windows - 1, 0, W - 1).astype(jnp.int32)
+    lasts = jnp.take_along_axis(ids, last_idx[:, None], axis=1)[:, 0]
+
+    def isin(x):
+        x64 = x.astype(jnp.int64)
+        pos = jnp.searchsorted(cyc_sorted, x64)
+        pos_c = jnp.minimum(pos, cyc_sorted.shape[0] - 1)
+        return (x >= 0) & (cyc_sorted[pos_c] == x64)
+
+    eligible = (lengths > 2 * k) & (n_windows > 0)
+    return eligible & (isin(firsts) | isin(lasts))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _keep_mask_jit(ids, n_windows, lengths, cyc_sorted, k: int):
+    return _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k)
+
+
 def _map_sequences(
     graph: DBG,
     sequences: list[str],
@@ -100,6 +127,15 @@ def _map_sequences(
     if not sequences:
         return []
     from mcaat_tpu.graph.dbg import _bucket_size
+
+    cyc = np.fromiter(cycle_nodes, dtype=np.int64, count=len(cycle_nodes))
+    cyc.sort()
+    # bucket the cycle-set size (pad with a never-matching sentinel) so the
+    # jitted keep-mask reuses compiled shapes across datasets
+    c_pad = _bucket_size(max(len(cyc), 1))
+    cyc_b = np.full(c_pad, np.iinfo(np.int64).max, dtype=np.int64)
+    cyc_b[: len(cyc)] = cyc
+    cyc_j = jnp.asarray(cyc_b)
 
     chains: list[list[int]] = []
     for lo in range(0, len(sequences), chunk_reads):
@@ -116,10 +152,27 @@ def _map_sequences(
             lengths = np.zeros((R_pad,), dtype=np.int32)
             lengths[:R] = batch.lengths
             batch = ReadBatch(codes=codes, lengths=lengths)
-        ids, n_windows = map_reads_to_nodes(graph, batch)
+        if batch.max_len < graph.k:
+            continue
+        kmers = extract_kmers(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), graph.k
+        )
+        ids_d = graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)
+        lengths_d = jnp.asarray(batch.lengths)
+        n_windows_d = jnp.maximum(lengths_d - graph.k + 1, 0).astype(jnp.int32)
+        keep_d = _keep_mask_jit(ids_d, n_windows_d, lengths_d, cyc_j, graph.k)
+        kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
+        if len(kept_idx) == 0:
+            continue
+        # transfer only the kept rows; bucket the row count so the gather
+        # hits a handful of compiled shapes instead of one per kept count
+        n_kept = len(kept_idx)
+        g_pad = _bucket_size(n_kept)
+        idx_b = np.zeros(g_pad, dtype=np.int64)
+        idx_b[:n_kept] = kept_idx
+        ids_kept = np.asarray(ids_d[jnp.asarray(idx_b)])[:n_kept]
+        n_win_host = np.asarray(n_windows_d)[kept_idx]
         chains.extend(
-            chains_from_ids(
-                ids[:R], n_windows[:R], batch.lengths[:R], graph.k, cycle_nodes
-            )
+            ids_kept[i, : int(n_win_host[i])].tolist() for i in range(n_kept)
         )
     return chains
