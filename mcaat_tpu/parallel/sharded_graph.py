@@ -261,7 +261,58 @@ def build_sharded_dbg(
     return graph, int(dropped)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "threshold_multiplicity"))
+@functools.partial(jax.jit, static_argnames=("mesh", "n_passes"))
+def _sharded_chain_collapse(mesh: Mesh, out: jax.Array, valid: jax.Array,
+                            n_passes: int):
+    """Distributed unary-chain collapse by pointer doubling.
+
+    The O(N) per-node work (degrees, successor pick, doubling gathers)
+    runs sharded; each doubling pass replicates the (int32) pointer array
+    with one ``all_gather`` over kp — log2(N) collectives total instead
+    of one per clipped chain LEVEL (a single long linear chain made the
+    per-level loop issue hundreds of thousands of collectives inside one
+    program). At 1B+ nodes the replicated gather should become a routed
+    ``all_to_all`` exchange (frontier_step's shape); for current shard
+    counts the gather is the faster, simpler choice.
+    Returns (ntype [kp,T], ptr [kp,T] of GLOBAL ids).
+    """
+    from mcaat_tpu.prune.prune import _BRANCH, _DEAD, _UNARY
+
+    kp = mesh.shape["kp"]
+    T = valid.shape[1]
+
+    def step(out_l, valid_l):
+        out_l = out_l[0]  # flat [4T], global neighbor ids
+        valid_l = valid_l[0]
+        my = jax.lax.axis_index("kp")
+        vall = jax.lax.all_gather(valid_l, "kp", tiled=True)  # [kp*T]
+        adj_ok = (out_l >= 0) & vall[jnp.maximum(out_l, 0)]
+        deg = jnp.sum(adj_ok.reshape(T, 4), axis=1)
+        ntype = jnp.where(
+            ~valid_l | (deg == 0), _DEAD, jnp.where(deg == 1, _UNARY, _BRANCH)
+        ).astype(jnp.int32)
+        succ = jnp.max(jnp.where(adj_ok, out_l, -1).reshape(T, 4), axis=1)
+        gids = my.astype(jnp.int32) * T + jnp.arange(T, dtype=jnp.int32)
+        ptr = jnp.where(ntype == _UNARY, succ, gids)
+
+        def body(_, p):
+            pall = jax.lax.all_gather(p, "kp", tiled=True)
+            return pall[p]
+
+        ptr = jax.lax.fori_loop(0, n_passes, body, ptr)
+        return ntype[None], ptr[None]
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, "kp"), P(None, "kp")),
+        out_specs=(P(None, "kp"), P(None, "kp")),
+        check_vma=False,
+    )
+    nt, pt = fn(out.reshape(1, -1), valid.reshape(1, -1))
+    return nt.reshape(kp, T), pt.reshape(kp, T)
+
+
 def sharded_prune_and_candidates(
     mesh: Mesh,
     mult: jax.Array,  # [kp, T]
@@ -272,72 +323,73 @@ def sharded_prune_and_candidates(
 ):
     """Distributed pruning + start-node candidate scan.
 
-    Multiplicity ≤ 1 invalidation is local; the tip-clip fixpoint needs
-    each shard to test its neighbors' validity, which lives on other
-    shards — an ``all_gather`` of the (bit-cheap) valid mask per
-    iteration, with a ``psum``-ed change count as the loop condition.
-    Returns (valid [kp, T], candidate mask [kp, T]).
+    Multiplicity ≤ 1 invalidation and the chain collapse run sharded on
+    device (see ``_sharded_chain_collapse``); the condensed branch-node
+    fixpoint + final classification run on host over the collapsed
+    pointers (the branch set is tiny — same split as
+    ``prune.clip_tips``). Returns (valid [kp, T], candidates [kp, T]).
     """
+    from mcaat_tpu.prune.prune import _BRANCH, _DEAD, _UNARY
+
     kp = mesh.shape["kp"]
     T = mult.shape[1]
+    N = kp * T
+    valid0 = valid & (mult > 1)
+    n_passes = max(int(np.ceil(np.log2(max(N, 2)))) + 1, 1)
+    ntype, ptr = _sharded_chain_collapse(mesh, out, valid0, n_passes)
 
-    def step(mult_l, out_l, in_l, valid_l):
-        mult_l = mult_l[0]
-        out_l = out_l[0]  # flat [4T]
-        in_l = in_l[0]
-        v = valid_l[0] & (mult_l > 1)
-        my_kp = jax.lax.axis_index("kp")
+    ntype_h = np.asarray(ntype).reshape(-1)
+    ptr_h = np.asarray(ptr).reshape(-1)
+    out_h = np.asarray(out).reshape(N, 4)
+    valid0_h = np.asarray(valid0).reshape(-1)
 
-        def cond(state):
-            _v, changed = state
-            return changed > 0
+    # condensed slot classes: -1 dead, -2 unary-cycle, else branch id
+    ok = (out_h >= 0) & valid0_h[np.maximum(out_h, 0)]
+    tu = ptr_h[np.maximum(out_h, 0)]
+    tclass = ntype_h[tu]
+    cond = np.where(
+        ~ok | (tclass == _DEAD), -1, np.where(tclass == _UNARY, -2, tu)
+    ).astype(np.int64)
 
-        def body(state):
-            v, _ = state
-            vall = jax.lax.all_gather(v, "kp", tiled=True)  # [kp*T] global
-            ok = (out_l >= 0) & vall[jnp.maximum(out_l, 0)]
-            outdeg = jnp.sum(ok.reshape(T, 4), axis=1)
-            tips = v & (outdeg == 0)
-            changed = jax.lax.psum(jnp.sum(tips.astype(jnp.int32)), "kp").astype(jnp.int32)
-            return v & ~tips, changed
+    branch = np.nonzero(ntype_h == _BRANCH)[0]
+    alive = np.zeros(N, dtype=bool)
+    if len(branch) > 0:
+        of_node = np.full(N, -1, dtype=np.int64)
+        of_node[branch] = np.arange(len(branch))
+        rows = cond[branch]
+        tgt = np.where(rows >= 0, of_node[np.maximum(rows, 0)], -1)
+        has_cycle_edge = (rows == -2).any(axis=1)
+        a = np.ones(len(branch), dtype=bool)
+        while True:
+            t_alive = (tgt >= 0) & a[np.maximum(tgt, 0)]
+            new_a = has_cycle_edge | t_alive.any(axis=1)
+            if (new_a == a).all():
+                break
+            a = new_a
+        alive[branch] = a
 
-        v, _ = jax.lax.while_loop(cond, body, (v, jnp.int32(1)))
-
-        # candidate scan (≙ ChunkStartNodes static predicate)
-        vall = jax.lax.all_gather(v, "kp", tiled=True)
-        in_ok = (in_l >= 0) & vall[jnp.maximum(in_l, 0)]
-        indeg = jnp.sum(in_ok.reshape(T, 4), axis=1)
-        gid4 = my_kp.astype(jnp.int32) * T + (
-            jnp.arange(4 * T, dtype=jnp.int32) >> 2
-        )
-        self_loop = jnp.any((out_l == gid4).reshape(T, 4), axis=1)
-        cand = (
-            v
-            & (indeg >= 2)
-            & (mult_l > threshold_multiplicity)
-            & ~self_loop
-        )
-        return v[None], cand[None]
-
-    fn = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(
-            P(None, "kp"),
-            P(None, "kp"),
-            P(None, "kp"),
-            P(None, "kp"),
-        ),
-        out_specs=(P(None, "kp"), P(None, "kp")),
-        check_vma=False,
+    term = ntype_h[ptr_h]
+    unary_alive = np.where(
+        term == _UNARY, True, np.where(term == _DEAD, False, alive[ptr_h])
     )
-    v, cand = fn(
-        mult.reshape(1, -1),
-        out.reshape(1, -1),
-        in_.reshape(1, -1),
-        valid.reshape(1, -1),
+    v = np.where(
+        ntype_h == _UNARY,
+        valid0_h & unary_alive,
+        np.where(ntype_h == _BRANCH, valid0_h & alive, False),
     )
-    return v.reshape(kp, T), cand.reshape(kp, T)
+
+    # candidate scan (≙ ChunkStartNodes static predicate)
+    in_h = np.asarray(in_).reshape(N, 4)
+    in_ok = (in_h >= 0) & v[np.maximum(in_h, 0)]
+    indeg = in_ok.sum(axis=1)
+    gids = np.arange(N, dtype=np.int64)
+    mult_h = np.asarray(mult).reshape(-1)
+    self_loop = (out_h == gids[:, None]).any(axis=1)
+    cand = v & (indeg >= 2) & (mult_h > threshold_multiplicity) & ~self_loop
+    return (
+        jnp.asarray(v.reshape(kp, T)),
+        jnp.asarray(cand.reshape(kp, T)),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
