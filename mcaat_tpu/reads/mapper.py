@@ -78,17 +78,24 @@ def get_reads(
     fastq_file_2: Optional[str],
     cycles: list[list[int]],
 ) -> list[list[int]]:
-    """≙ reference ``get_reads`` (src/reads.cpp:91-130)."""
+    """≙ reference ``get_reads`` (src/reads.cpp:91-130).
+
+    Parses straight into the padded 2-bit code matrix (native C++ parser
+    when built) — no Python string materialization; mate-2 rows are
+    reverse-complemented as a vectorized code-matrix op
+    (≙ reverse_pair_ends_sequence, src/reads.cpp:20-31).
+    """
+    from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
+
     cycle_nodes: set[int] = set()
     for cycle in cycles:
         cycle_nodes.update(int(n) for n in cycle)
 
     chains: list[list[int]] = []
-    seqs = read_sequences(fastq_file_1)
-    chains.extend(_map_sequences(graph, seqs, cycle_nodes))
+    chains.extend(_map_batch(graph, read_encoded_batch(fastq_file_1), cycle_nodes))
     if fastq_file_2:
-        seqs2 = [reverse_complement(s) for s in read_sequences(fastq_file_2)]
-        chains.extend(_map_sequences(graph, seqs2, cycle_nodes))
+        b2 = reverse_complement_batch(read_encoded_batch(fastq_file_2))
+        chains.extend(_map_batch(graph, b2, cycle_nodes))
     return chains
 
 
@@ -123,8 +130,22 @@ def _map_sequences(
     cycle_nodes: set[int],
     chunk_reads: int = 1 << 20,
 ) -> list[list[int]]:
-    """Batched window lookup in read blocks (memory-bounded at scale)."""
+    """String-list convenience wrapper around :func:`_map_batch`."""
     if not sequences:
+        return []
+    return _map_batch(
+        graph, encode_sequences(sequences), cycle_nodes, chunk_reads
+    )
+
+
+def _map_batch(
+    graph: DBG,
+    full_batch: ReadBatch,
+    cycle_nodes: set[int],
+    chunk_reads: int = 1 << 20,
+) -> list[list[int]]:
+    """Batched window lookup in read blocks (memory-bounded at scale)."""
+    if full_batch.num_reads == 0:
         return []
     from mcaat_tpu.graph.dbg import _bucket_size
 
@@ -137,21 +158,22 @@ def _map_sequences(
     cyc_b[: len(cyc)] = cyc
     cyc_j = jnp.asarray(cyc_b)
 
+    # pad L to a multiple of 32 so datasets share compiled shapes
+    L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
+
     chains: list[list[int]] = []
-    for lo in range(0, len(sequences), chunk_reads):
-        batch = encode_sequences(
-            sequences[lo : lo + chunk_reads], pad_to_multiple=32
-        )
+    for lo in range(0, full_batch.num_reads, chunk_reads):
+        c_np = full_batch.codes[lo : lo + chunk_reads]
+        l_np = full_batch.lengths[lo : lo + chunk_reads]
         # bucket the row count so repeat runs reuse compiled programs;
         # zero-length pad rows produce no windows and are filtered out
-        R = batch.num_reads
+        R = c_np.shape[0]
         R_pad = _bucket_size(R)
-        if R_pad > R:
-            codes = np.zeros((R_pad, batch.max_len), dtype=np.uint8)
-            codes[:R] = batch.codes
-            lengths = np.zeros((R_pad,), dtype=np.int32)
-            lengths[:R] = batch.lengths
-            batch = ReadBatch(codes=codes, lengths=lengths)
+        codes = np.zeros((R_pad, L_pad), dtype=np.uint8)
+        codes[:R, : c_np.shape[1]] = c_np
+        lengths = np.zeros((R_pad,), dtype=np.int32)
+        lengths[:R] = l_np
+        batch = ReadBatch(codes=codes, lengths=lengths)
         if batch.max_len < graph.k:
             continue
         kmers = extract_kmers(

@@ -38,7 +38,14 @@ def main():
     t1 = time.time()
     result = run_pipeline(s, verbose=True)
     dt = time.time() - t1
-    print(f"END-TO-END: {n_reads} reads in {dt:.1f}s = {n_reads/dt:,.0f} reads/s",
+    print(f"END-TO-END (cold): {n_reads} reads in {dt:.1f}s = {n_reads/dt:,.0f} reads/s",
+          flush=True)
+    # steady state: all programs compiled in-process
+    t1 = time.time()
+    result = run_pipeline(s, verbose=False)
+    dt = time.time() - t1
+    print(result.profile.report(), flush=True)
+    print(f"END-TO-END (warm): {n_reads} reads in {dt:.1f}s = {n_reads/dt:,.0f} reads/s",
           flush=True)
 
     # recovery stats
