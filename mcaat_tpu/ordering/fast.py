@@ -31,6 +31,17 @@ def _index_lut(node_to_cycle_map: dict[int, int]):
     return keys[order], vals[order]
 
 
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
+    r = _TRIU_CACHE.get(m)
+    if r is None:
+        r = np.triu_indices(m, 1)
+        _TRIU_CACHE[m] = r
+    return r
+
+
 def generate_constraints_arrays(
     reads: list[list[int]], node_to_cycle_map: dict[int, int]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -44,26 +55,34 @@ def generate_constraints_arrays(
     if not node_to_cycle_map:
         return np.zeros((0, 2), np.int64), np.zeros((0,), np.int64)
     keys, vals = _index_lut(node_to_cycle_map)
+    # one batched lookup for all reads (reads are near-uniform chains)
+    reads = [r for r in reads if r]
+    if not reads:
+        return np.zeros((0, 2), np.int64), np.zeros((0,), np.int64)
+    lens = np.fromiter((len(r) for r in reads), dtype=np.int64, count=len(reads))
+    flat = np.concatenate([np.asarray(r, dtype=np.int64) for r in reads])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    pos = np.searchsorted(keys, flat)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    hit_all = keys[pos_c] == flat
+    vals_all = vals[pos_c]
+
     srcs: list[np.ndarray] = []
     dsts: list[np.ndarray] = []
-    for read in reads:
-        if not read:
-            continue
-        arr = np.asarray(read, dtype=np.int64)
-        pos = np.searchsorted(keys, arr)
-        pos_c = np.minimum(pos, len(keys) - 1)
-        hit = keys[pos_c] == arr
-        seq = vals[pos_c[hit]]  # in-cycle indices, in read order (unmerged)
+    for r in range(len(reads)):
+        lo, hi = offs[r], offs[r + 1]
+        hit = hit_all[lo:hi]
+        seq = vals_all[lo:hi][hit]  # in-cycle indices, read order (unmerged)
         m = len(seq)
         if m >= 2:
-            iu, ju = np.triu_indices(m, 1)
+            iu, ju = _triu(m)
             a, b = seq[iu], seq[ju]
             neq = a != b
             srcs.append(a[neq])
             dsts.append(b[neq])
         # out-of-cycles constraint: both endpoints mapped
-        if hit[0] and hit[-1]:
-            full = np.where(hit, vals[pos_c], NOT_IN_ANY_CYCLE_INDEX)
+        if m and hit[0] and hit[-1]:
+            full = np.where(hit, vals_all[lo:hi], NOT_IN_ANY_CYCLE_INDEX)
             keep = np.ones(len(full), dtype=bool)
             keep[1:] = full[1:] != full[:-1]
             merged = full[keep]

@@ -113,6 +113,17 @@ class Subgraph:
         return sum(len(v) for v in self.adjacency.values())
 
 
+def _valid_csr(out: np.ndarray, valid: np.ndarray):
+    """CSR of the valid out-adjacency (vectorized once, no per-node lists)."""
+    ok = (out >= 0) & valid[np.maximum(out, 0)] & valid[:, None]
+    counts = ok.sum(axis=1)
+    indptr = np.zeros(out.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    # row-major nonzero order keeps each node's neighbors in slot order
+    indices = out[ok]
+    return indptr, indices.astype(np.int64)
+
+
 def find_strongly_connected_components(
     out: np.ndarray, valid: np.ndarray
 ) -> list[list[int]]:
@@ -120,12 +131,14 @@ def find_strongly_connected_components(
 
     Matches the reference's traversal (ascending node order, out-neighbors
     filtered by validity; src/spacer_ordering.cpp:3-76) without the
-    recursion-depth hazard.
+    recursion-depth hazard. Neighbor lists come from one vectorized CSR
+    pass; index/lowlink state is flat arrays, not dicts.
     """
     n = out.shape[0]
-    index_map: dict[int, int] = {}
-    lowlink: dict[int, int] = {}
-    on_stack: set[int] = set()
+    indptr, indices = _valid_csr(out, valid)
+    index_map = np.full(n, -1, dtype=np.int64)
+    lowlink = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
     tarjan_stack: list[int] = []
     components: list[list[int]] = []
     counter = 0
@@ -134,42 +147,43 @@ def find_strongly_connected_components(
 
     for root in valid_nodes:
         root = int(root)
-        if root in index_map:
+        if index_map[root] >= 0:
             continue
-        # each work item: (node, iterator position over its neighbor list)
-        work: list[tuple[int, int, list[int]]] = []
-        nbrs = [int(x) for x in out[root] if x >= 0 and valid[x]]
+        # each work item: (node, next neighbor cursor)
         index_map[root] = lowlink[root] = counter
         counter += 1
         tarjan_stack.append(root)
-        on_stack.add(root)
-        work.append((root, 0, nbrs))
+        on_stack[root] = True
+        work: list[list[int]] = [[root, int(indptr[root])]]
         while work:
-            node, i, nbrs = work.pop()
+            top = work[-1]
+            node, i = top
+            end = int(indptr[node + 1])
             advanced = False
-            while i < len(nbrs):
-                nb = nbrs[i]
+            while i < end:
+                nb = int(indices[i])
                 i += 1
-                if nb not in index_map:
-                    work.append((node, i, nbrs))
+                if index_map[nb] < 0:
+                    top[1] = i
                     index_map[nb] = lowlink[nb] = counter
                     counter += 1
                     tarjan_stack.append(nb)
-                    on_stack.add(nb)
-                    nb_nbrs = [int(x) for x in out[nb] if x >= 0 and valid[x]]
-                    work.append((nb, 0, nb_nbrs))
+                    on_stack[nb] = True
+                    work.append([nb, int(indptr[nb])])
                     advanced = True
                     break
-                elif nb in on_stack:
-                    lowlink[node] = min(lowlink[node], index_map[nb])
+                elif on_stack[nb]:
+                    if index_map[nb] < lowlink[node]:
+                        lowlink[node] = index_map[nb]
             if advanced:
                 continue
             # node finished
+            work.pop()
             if lowlink[node] == index_map[node]:
                 comp = []
                 while True:
                     w = tarjan_stack.pop()
-                    on_stack.discard(w)
+                    on_stack[w] = False
                     comp.append(w)
                     if w == node:
                         break
@@ -177,23 +191,25 @@ def find_strongly_connected_components(
                     components.append(comp)
             if work:
                 parent = work[-1][0]
-                lowlink[parent] = min(lowlink[parent], lowlink[node])
+                if lowlink[node] < lowlink[parent]:
+                    lowlink[parent] = lowlink[node]
     return components
 
 
 def divide_graph_into_subgraphs(out: np.ndarray, valid: np.ndarray) -> list[Subgraph]:
-    """≙ reference src/spacer_ordering.cpp:141-175."""
+    """≙ reference src/spacer_ordering.cpp:141-175 (vectorized per SCC)."""
     subgraphs: list[Subgraph] = []
-    for component in find_strongly_connected_components(out, valid):
-        comp_set = set(component)
+    in_comp = np.full(out.shape[0], -1, dtype=np.int64)
+    for ci, component in enumerate(find_strongly_connected_components(out, valid)):
+        comp = np.asarray(component, dtype=np.int64)
+        in_comp[comp] = ci
+        rows = out[comp]  # [m, 4]
+        ok = (rows >= 0) & (in_comp[np.maximum(rows, 0)] == ci)
+        us = np.repeat(comp, 4).reshape(-1, 4)[ok]
+        vs = rows[ok]
         sg = Subgraph()
-        for u in component:
-            if not valid[u]:
-                continue
-            for v in out[u]:
-                v = int(v)
-                if v >= 0 and v in comp_set:
-                    sg.add_edge(u, v)
+        for u, v in zip(us.tolist(), vs.tolist()):
+            sg.add_edge(int(u), int(v))
         if sg.nodes:
             subgraphs.append(sg)
     return subgraphs

@@ -8,14 +8,20 @@ reference's arithmetic, tmp_utils.cpp:266 — preserved verbatim including
 its quirks, SURVEY §7.3 risk 3), each cycle is rotated so the repeat
 leads, and the consensus repeat is the most frequent per-cycle repeat.
 
-Labels come from the graph's packed k-mer table; each node's contributed
-base is the *last* character of its label, matching the reference's
-node-chain → string reconstruction.
+All base accesses are direct bit ops on the packed k-mer table (a node's
+contributed base is the LAST base of its label, ``kmers[v] & 3``; the
+branch scans need the FIRST base, ``kmers[v] >> 2(k-1)``) — no string
+labels are ever materialized, unlike the reference's per-node GetLabel
+buffers.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 from mcaat_tpu.graph.dbg import HostDBG
+
+_DECODE = np.frombuffer(b"ACGT", dtype="S1")
 
 
 def get_systems(
@@ -23,38 +29,36 @@ def get_systems(
 ) -> tuple[str, list[str], str]:
     """Returns (consensus_repeat, spacers, full_sequence)."""
     k = graph.k
+    km = graph.kmers
     smallest = min(len(c) for c in ordered_cycles)
-
-    labels_cache: dict[int, str] = {}
-
-    def label(node: int) -> str:
-        if node not in labels_cache:
-            labels_cache[node] = graph.label(node)
-        return labels_cache[node]
+    cyc_arrs = [np.asarray(c, dtype=np.int64) for c in ordered_cycles]
+    first_shift = np.int64(2 * (k - 1))
 
     # Repeat extension to the right (ref tmp_utils.cpp:212-237):
-    # scan forward; a position where the *first* base of the labels branches
-    # ends the repeat unless the very next position re-converges
-    # (point mutation).
+    # scan forward; a position where the *first* base of the labels
+    # branches ends the repeat unless the very next position re-converges
+    # (point mutation). branch[i] == True iff cycles disagree at column i.
+    firsts = np.stack(
+        [(km[c[:smallest]] >> first_shift) & 3 for c in cyc_arrs]
+    )  # [C, smallest]
+    branch_f = (firsts != firsts[0]).any(axis=0)
     extension_to_right = 0
     for i in range(smallest - 1):
-        next_bp = {label(c[i])[0] for c in ordered_cycles}
-        if len(next_bp) > 1:
-            next_next_bp = {label(c[i + 1])[0] for c in ordered_cycles}
-            if len(next_next_bp) != 1:
-                extension_to_right = i
-                break
+        if branch_f[i] and branch_f[i + 1]:
+            extension_to_right = i
+            break
 
     # Repeat extension to the left (ref tmp_utils.cpp:239-264): scan
     # backward from each cycle's end comparing the *last* base.
+    lasts = np.stack(
+        [km[c[len(c) - smallest :][::-1]] & 3 for c in cyc_arrs]
+    )  # [C, smallest]; column i == base of c[len(c)-i-1]
+    branch_l = (lasts != lasts[0]).any(axis=0)
     extension_to_left = 0
     for i in range(smallest - 1):
-        prev_bp = {label(c[len(c) - i - 1])[-1] for c in ordered_cycles}
-        if len(prev_bp) > 1:
-            prev_prev_bp = {label(c[len(c) - i - 2])[-1] for c in ordered_cycles}
-            if len(prev_prev_bp) != 1:
-                extension_to_left = i
-                break
+        if branch_l[i] and branch_l[i + 1]:
+            extension_to_left = i
+            break
 
     repeat_length = extension_to_left + extension_to_right - k  # ref :266
 
@@ -62,19 +66,14 @@ def get_systems(
     # contribute to the repeat, the rest to the spacer (ref :268-290).
     spacers: list[str] = []
     repeats: list[str] = []
-    for cycle in ordered_cycles:
-        spacer = []
-        repeat = []
-        offset_repeat = len(cycle) - extension_to_left
-        for i in range(len(cycle)):
-            node = cycle[(offset_repeat + i) % len(cycle)]
-            ch = label(node)[-1]
-            if i < repeat_length:
-                repeat.append(ch)
-            else:
-                spacer.append(ch)
-        spacers.append("".join(spacer))
-        repeats.append("".join(repeat))
+    for c in cyc_arrs:
+        n = len(c)
+        offset_repeat = n - extension_to_left
+        idx = (offset_repeat + np.arange(n)) % n
+        chars = _DECODE[(km[c[idx]] & 3).astype(np.int64)]
+        n_rep = min(max(repeat_length, 0), n)
+        repeats.append(chars[:n_rep].tobytes().decode())
+        spacers.append(chars[n_rep:].tobytes().decode())
 
     # Consensus = most frequent repeat (ref :292-305). Tie-break is the
     # reference's first-seen-in-map order; we use first-seen order.
