@@ -82,6 +82,41 @@ def test_no_array_in_pure_background(tmp_path):
 
 
 @pytest.mark.slow
+def test_settings_sweep_threshold_multiplicity(tmp_path):
+    """BASELINE config 3: custom settings must steer the cycle finder.
+
+    threshold_multiplicity above the array coverage suppresses all start
+    nodes (≙ the reference's Settings::CycleFinderSettings knob,
+    settings.h:33-38); at the default the array is found.
+    """
+    meta = make_metagenome(seed=31, n_arrays=1, n_spacers=6, coverage=40.0)
+    found = run_on(tmp_path, meta)
+    assert len(found.found_systems) >= 1
+    cfg = tmp_path / "settings.txt"
+    cfg.write_text("threshold_multiplicity=5000\n")
+    s = Settings()
+    assert s.load_from_file(str(cfg))
+    assert s.cycle_finder_settings.threshold_multiplicity == 5000
+    suppressed = run_on(
+        tmp_path, meta, cycle_finder_settings=s.cycle_finder_settings
+    )
+    assert suppressed.found_systems == []
+
+
+@pytest.mark.slow
+def test_settings_sweep_cycle_length_window(tmp_path):
+    """cycle_max_length below the array period finds no cycles."""
+    meta = make_metagenome(seed=33, n_arrays=1, n_spacers=6, coverage=40.0)
+    s = Settings()
+    s.cycle_finder_settings.cycle_max_length = 30  # period ≈ 60-80 nodes
+    s.cycle_finder_settings.cycle_min_length = 27
+    result = run_on(
+        tmp_path, meta, cycle_finder_settings=s.cycle_finder_settings
+    )
+    assert result.found_systems == []
+
+
+@pytest.mark.slow
 def test_two_arrays_detected(tmp_path):
     meta = make_metagenome(seed=21, n_arrays=2, n_spacers=5, coverage=40.0)
     result = run_on(tmp_path, meta)
