@@ -194,6 +194,29 @@ def _join_lookup2(table: jax.Array, q1: jax.Array, q2: jax.Array):
 
 
 @jax.jit
+def _join_lookup1(table: jax.Array, q: jax.Array) -> jax.Array:
+    """Rank of one query array in a sorted unique table (sort-join).
+
+    Single-query variant of :func:`_join_lookup2`, used when the source
+    endpoint ids already come from the counting stage
+    (``derive_nodes_from_edges``) and only the destination endpoint needs
+    the join. Misses / SENTINEL return -1.
+    """
+    T = table.shape[0]
+    keys = jnp.concatenate([table, q])
+    n = keys.shape[0]
+    tag = (jnp.arange(n, dtype=jnp.int32) >= T).astype(jnp.int32)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    _sk, st, so = jax.lax.sort((keys, tag, orig), num_keys=2)
+    rank = jnp.cumsum(1 - st) - 1
+    _o, rank_orig = jax.lax.sort((so, rank), num_keys=1)
+    r = rank_orig[T:]
+    rc = jnp.clip(r, 0, T - 1)
+    hit = (r >= 0) & (table[rc] == q) & (q != SENTINEL)
+    return jnp.where(hit, rc, -1).astype(jnp.int32)
+
+
+@jax.jit
 def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
     ids_c = jnp.maximum(ids, 0)
     slots = ids_c[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
@@ -210,8 +233,13 @@ def _degree(adj: jax.Array, valid: jax.Array) -> jax.Array:
     return jnp.sum(ok.reshape(-1, 4), axis=1).astype(jnp.int32)
 
 
-def _edge_slots(kmers23, edges24, live, k):
-    """Endpoint ids + flat adjacency slots for a (padded) unique edge set."""
+def _edge_slots(kmers23, edges24, live, k, u_id=None):
+    """Endpoint ids + flat adjacency slots for a (padded) unique edge set.
+
+    When ``u_id`` (the source endpoint's node id per edge row, from
+    ``derive_nodes_from_edges``) is provided, only the destination endpoint
+    needs the sort-join — halving the join size.
+    """
     N = kmers23.shape[0]
     mask_k = (jnp.int64(1) << jnp.int64(2 * k)) - 1
 
@@ -220,7 +248,10 @@ def _edge_slots(kmers23, edges24, live, k):
     last = (edges24 & jnp.int64(3)).astype(jnp.int32)
     first = (edges24 >> jnp.int64(2 * k)).astype(jnp.int32)
 
-    u_id, v_id = _join_lookup2(kmers23, u, v)
+    if u_id is None:
+        u_id, v_id = _join_lookup2(kmers23, u, v)
+    else:
+        v_id = _join_lookup1(kmers23, v)
     ok = live & (u_id >= 0) & (v_id >= 0)
 
     # Flat 1-D scatter slots with uniqueness/sortedness hints (the general
@@ -235,12 +266,18 @@ def _edge_slots(kmers23, edges24, live, k):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _build_adjacency(
-    kmers23: jax.Array, edges24: jax.Array, n_edges: jax.Array, k: int = 23
+    kmers23: jax.Array,
+    edges24: jax.Array,
+    n_edges: jax.Array,
+    k: int = 23,
+    u_id=None,
 ):
     """Scatter unique (k+1)-mers into out/in adjacency over the k-mer table."""
     N = kmers23.shape[0]
     live = jnp.arange(edges24.shape[0]) < n_edges
-    ok, out_slot, in_slot, u_id, v_id = _edge_slots(kmers23, edges24, live, k)
+    ok, out_slot, in_slot, u_id, v_id = _edge_slots(
+        kmers23, edges24, live, k, u_id=u_id
+    )
     out = (
         jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
         .at[out_slot]
@@ -258,10 +295,12 @@ def _build_adjacency(
     jax.jit, static_argnames=("k",), donate_argnums=(2, 3)
 )
 def _adjacency_scatter_chunk(
-    kmers23, edge_chunk, out_flat, in_flat, n_live, k: int = 23
+    kmers23, edge_chunk, out_flat, in_flat, n_live, k: int = 23, u_id=None
 ):
     live = jnp.arange(edge_chunk.shape[0]) < n_live
-    ok, out_slot, in_slot, u_id, v_id = _edge_slots(kmers23, edge_chunk, live, k)
+    ok, out_slot, in_slot, u_id, v_id = _edge_slots(
+        kmers23, edge_chunk, live, k, u_id=u_id
+    )
     out_flat = out_flat.at[out_slot].set(
         jnp.where(ok, v_id, -1), unique_indices=True, indices_are_sorted=True
     )
@@ -277,6 +316,7 @@ def build_adjacency_chunked(
     n_edges: int,
     k: int = 23,
     chunk_edges: int = 16_000_000,
+    u_id=None,
 ):
     """Memory-bounded adjacency assembly: edge chunks join + scatter in turn.
 
@@ -286,9 +326,11 @@ def build_adjacency_chunked(
     donated accumulator arrays, so peak memory is the node table + one
     chunk + the [4N] adjacency — the same ceiling as chunked counting.
     Chunks of the sorted edge table keep the sorted-out-slot property.
+    ``u_id`` (per-edge source node ids) chunks alongside the edges.
     """
     N = int(kmers23.shape[0])
     edges_np = np.asarray(edges24)
+    u_id_np = None if u_id is None else np.asarray(u_id)
     out_flat = jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
     in_flat = jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
     for lo in range(0, max(n_edges, 1), chunk_edges):
@@ -297,8 +339,22 @@ def build_adjacency_chunked(
         if n_live < chunk_edges:
             pad = np.full(chunk_edges - n_live, np.iinfo(np.int64).max, np.int64)
             chunk = np.concatenate([chunk, pad])
+        uc = None
+        if u_id_np is not None:
+            uc = u_id_np[lo : min(lo + chunk_edges, n_edges)]
+            if uc.shape[0] < chunk_edges:
+                uc = np.concatenate(
+                    [uc, np.full(chunk_edges - uc.shape[0], -1, np.int32)]
+                )
+            uc = jnp.asarray(uc)
         out_flat, in_flat = _adjacency_scatter_chunk(
-            kmers23, jnp.asarray(chunk), out_flat, in_flat, jnp.int32(n_live), k=k
+            kmers23,
+            jnp.asarray(chunk),
+            out_flat,
+            in_flat,
+            jnp.int32(n_live),
+            k=k,
+            u_id=uc,
         )
     return out_flat[: 4 * N], in_flat[: 4 * N]
 
@@ -351,6 +407,7 @@ def build_dbg(
     edges24: np.ndarray | jax.Array,
     n_edges: Optional[int] = None,
     k: int = 23,
+    u_id=None,
 ) -> DBG:
     """Assemble a DBG from a unique sorted 23-mer table and 24-mer edge set."""
     kmers23 = jnp.asarray(kmers23)
@@ -358,10 +415,16 @@ def build_dbg(
     if n_edges is None:
         n_edges = int(edges24.shape[0])
     if int(n_edges) > 32_000_000:
-        out, in_ = build_adjacency_chunked(kmers23, edges24, int(n_edges), k=k)
+        out, in_ = build_adjacency_chunked(
+            kmers23, edges24, int(n_edges), k=k, u_id=u_id
+        )
     else:
         out, in_ = _build_adjacency(
-            kmers23, jnp.asarray(edges24), jnp.asarray(n_edges), k=k
+            kmers23,
+            jnp.asarray(edges24),
+            jnp.asarray(n_edges),
+            k=k,
+            u_id=None if u_id is None else jnp.asarray(u_id),
         )
     valid = jnp.ones((kmers23.shape[0],), dtype=bool)
     return DBG(k=k, kmers=kmers23, mult=counts23, out=out, in_=in_, valid=valid)
@@ -437,12 +500,10 @@ def build_dbg_from_reads(
     if chunk_windows and n_windows > chunk_windows:
         # memory-bounded multi-pass counting (single-pass peak would
         # exceed HBM past ~60M windows on a 16GB chip)
-        from mcaat_tpu.kmer.count import count_nodes_and_edges_chunked
+        from mcaat_tpu.kmer.count import count_edges_chunked
 
         chunk_rows = max(chunk_windows // max(int(codes_j.shape[1]) - k, 1), 1)
-        u23, c23, n23, u24, n24 = count_nodes_and_edges_chunked(
-            codes_j, lengths_j, k, chunk_rows
-        )
+        u24, c24, n24 = count_edges_chunked(codes_j, lengths_j, k, chunk_rows)
     elif engine == "inst":
         from mcaat_tpu.kmer.count import count_unique_with_ids
 
@@ -465,17 +526,36 @@ def build_dbg_from_reads(
             valid=valid,
         )
     else:
-        from mcaat_tpu.kmer.count import count_nodes_and_edges
+        from mcaat_tpu.kmer.count import count_unique
 
-        u23, c23, n23, u24, n24 = count_nodes_and_edges(codes_j, lengths_j, k)
-    n23_i = int(n23)
+        km1 = extract_kmers(codes_j, lengths_j, k + 1).reshape(-1)
+        u24, c24, n24 = count_unique(km1)
+    # node table + per-edge source ids DERIVED from the (bucket-sliced)
+    # unique edge table — two window-count-sized sorts cheaper than
+    # re-counting the k-window multiset, and it halves the adjacency join
+    from mcaat_tpu.kmer.count import (
+        _bucket_slice,
+        count_unique,
+        derive_nodes_from_edges,
+        extract_last_kmer,
+    )
+
     n24_i = int(n24)
+    e_keep = _bucket_size(n24_i) if bucket_shapes else max(n24_i, 1)
+    e_keep = min(e_keep, int(u24.shape[0]))
+    u24s, c24s = u24[:e_keep], c24[:e_keep]
+    last = extract_last_kmer(codes_j, lengths_j, k)
+    u_l, c_l, n_l = count_unique(last)
+    if bucket_shapes:
+        u_l, c_l, _ = _bucket_slice(u_l, c_l, int(n_l))
+    u23, c23, n23, u_id = derive_nodes_from_edges(
+        u24s, c24s, jnp.int32(n24_i), u_l, c_l
+    )
+    n23_i = int(n23)
     n_keep = _bucket_size(n23_i) if bucket_shapes else n23_i
     n_keep = min(n_keep, int(u23.shape[0]))
-    e_keep = _bucket_size(n24_i) if bucket_shapes else n24_i
-    e_keep = min(e_keep, int(u24.shape[0]))
     graph = build_dbg(
-        u23[:n_keep], c23[:n_keep], u24[:e_keep], n_edges=n24_i, k=k
+        u23[:n_keep], c23[:n_keep], u24s, n_edges=n24_i, k=k, u_id=u_id
     )
     # padded tail rows are non-nodes
     if n_keep > n23_i:

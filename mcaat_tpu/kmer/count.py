@@ -63,9 +63,13 @@ def count_unique(kmers_flat: jax.Array):
     pos = jnp.arange(n, dtype=jnp.int32)
     # compaction BY SORTING (scatters lower poorly on TPU; sorts are fast):
     # non-heads become SENTINEL / n and sort to the tail, heads keep their
-    # relative (sorted) order.
-    unique = jnp.sort(jnp.where(is_head, s, SENTINEL))
-    head_idx = jnp.sort(jnp.where(is_head, pos, n))
+    # relative (sorted) order. ONE key sort carrying pos as payload yields
+    # both arrays (masked keys and masked positions induce the same order),
+    # halving the compaction sort cost.
+    unique, head_idx = jax.lax.sort(
+        (jnp.where(is_head, s, SENTINEL), jnp.where(is_head, pos, n)),
+        num_keys=1,
+    )
     # count of unique i = (index of next head, or first sentinel) - head index
     next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
     counts = jnp.where(
@@ -98,8 +102,10 @@ def count_unique_with_ids(kmers_flat: jax.Array):
     n_live = jnp.sum((s != SENTINEL).astype(jnp.int32))
     n_unique = jnp.sum(is_head.astype(jnp.int32))
     pos = jnp.arange(n, dtype=jnp.int32)
-    unique = jnp.sort(jnp.where(is_head, s, SENTINEL))
-    head_idx = jnp.sort(jnp.where(is_head, pos, n))
+    unique, head_idx = jax.lax.sort(
+        (jnp.where(is_head, s, SENTINEL), jnp.where(is_head, pos, n)),
+        num_keys=1,
+    )
     next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
     counts = jnp.where(
         pos < n_unique,
@@ -157,6 +163,34 @@ def count_nodes_and_edges(codes: jax.Array, lengths: jax.Array, k: int):
     return u_k, c_k, n_k, u_k1, n_k1
 
 
+def _compact_counted_sorted(keys, cnts):
+    """Reduce (sorted keys with duplicates, aligned counts) to a unique
+    table: ``(unique, counts, n_unique, is_head)``.
+
+    Keys must be sorted ascending; SENTINEL rows are ignored (their counts
+    are zeroed). One compaction sort (key + head-position payload) yields
+    both the compacted uniques and the run boundaries for the count
+    segment-sums. Shared by :func:`merge_counted` and
+    :func:`derive_nodes_from_edges`.
+    """
+    n = keys.shape[0]
+    is_head = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    is_head &= keys != SENTINEL
+    n_unique = jnp.sum(is_head.astype(jnp.int32))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    unique, head_idx = jax.lax.sort(
+        (jnp.where(is_head, keys, SENTINEL), jnp.where(is_head, pos, n)),
+        num_keys=1,
+    )
+    cs = jnp.cumsum(jnp.where(keys == SENTINEL, 0, cnts).astype(jnp.int64))
+    cs0 = jnp.concatenate([jnp.zeros((1,), jnp.int64), cs])
+    next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
+    counts = jnp.where(
+        pos < n_unique, (cs0[next_head] - cs0[head_idx]).astype(jnp.int32), 0
+    )
+    return unique, counts, n_unique, is_head
+
+
 @jax.jit
 def merge_counted(unique_a, counts_a, unique_b, counts_b):
     """Merge two (sorted unique, counts) tables into one.
@@ -167,23 +201,68 @@ def merge_counted(unique_a, counts_a, unique_b, counts_b):
     keys = jnp.concatenate([unique_a, unique_b])
     cnts = jnp.concatenate([counts_a, counts_b])
     keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
-    n = keys.shape[0]
-    is_head = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    is_head &= keys != SENTINEL
-    n_unique = jnp.sum(is_head.astype(jnp.int32))
-    pos = jnp.arange(n, dtype=jnp.int32)
-    unique = jnp.sort(jnp.where(is_head, keys, SENTINEL))
-    head_idx = jnp.sort(jnp.where(is_head, pos, n))
-    cs = jnp.cumsum(cnts.astype(jnp.int64))
-    cs0 = jnp.concatenate([jnp.zeros((1,), jnp.int64), cs])
-    next_head = jnp.concatenate([head_idx[1:], jnp.array([n], dtype=jnp.int32)])
-    n_live = jnp.sum((keys != SENTINEL).astype(jnp.int32))
-    hi = jnp.minimum(next_head, n_live)
-    lo = jnp.minimum(head_idx, n)
-    counts = jnp.where(
-        pos < n_unique, (cs0[hi] - cs0[lo]).astype(jnp.int32), 0
-    )
+    unique, counts, n_unique, _ = _compact_counted_sorted(keys, cnts)
     return unique, counts, n_unique
+
+
+@jax.jit
+def derive_nodes_from_edges(u_k1, c_k1, n_k1, u_last, c_last):
+    """Node (k-mer) table derived from the unique (k+1)-mer edge table.
+
+    Every k-window instance of a read is either the prefix of one of its
+    (k+1)-windows or the read's last k-window (the identity behind
+    :func:`node_multiset_from_edges`), so
+
+        c_k(x) = sum over (k+1)-mers e with prefix x of c_{k+1}(e)
+                 + c_last(x).
+
+    ``u_k1`` is sorted, so its prefixes ``e >> 2`` form sorted runs of
+    length <= 4: the unique prefixes and run-sums come from one compaction
+    sort instead of re-counting the full k-window multiset (which costs
+    two window-count-sized sorts — this derivation's inputs are the far
+    smaller unique tables). Merging with the (tiny) last-window table
+    yields the final node table AND, as a by-product, the node id of every
+    unique (k+1)-mer's prefix — the adjacency build's source endpoint,
+    making its source-side sort-join unnecessary.
+
+    Args: ``u_k1``/``c_k1`` int64/int32 [E] SENTINEL-padded sorted unique
+    (k+1)-mers with counts, ``n_k1`` live rows (traced scalar), ``u_last``/
+    ``c_last`` the counted last-k-window table (SENTINEL-padded).
+
+    Returns ``(u_k, c_k, n_k, u_id)``: node table [E + Rl] (SENTINEL/0
+    padded), live count, and int32 [E] prefix node ids (-1 on dead rows).
+    """
+    E = u_k1.shape[0]
+    pos = jnp.arange(E, dtype=jnp.int32)
+    live1 = (pos < n_k1) & (u_k1 != SENTINEL)
+    p = jnp.where(live1, u_k1 >> 2, SENTINEL)
+    cp = jnp.where(live1, c_k1, 0)
+    u_kp, c_kp, _n_kp, is_head_p = _compact_counted_sorted(p, cp)
+
+    # merge the prefix-derived table with the last-window table, tracking
+    # each prefix-table row's rank in the merged table
+    keys_m = jnp.concatenate([u_kp, u_last])
+    cnts_m = jnp.concatenate([c_kp, jnp.where(u_last == SENTINEL, 0, c_last)])
+    orig_m = jnp.concatenate(
+        [pos, jnp.full((u_last.shape[0],), -1, jnp.int32)]
+    )
+    k_s, c_s, o_s = jax.lax.sort((keys_m, cnts_m, orig_m), num_keys=1)
+    u_k, c_k, n_k, is_head_m = _compact_counted_sorted(k_s, c_s)
+    rank_m = (jnp.cumsum(is_head_m.astype(jnp.int32)) - 1).astype(jnp.int32)
+    # prefix-side rows always head their runs (stable sort, concat order),
+    # so rank_m at a prefix-side row IS its final node id. Dead rows dump
+    # into slot E; collisions there are sliced away.
+    idx = jnp.where(o_s >= 0, o_s, E)
+    rank_p = (
+        jnp.zeros((E + 1,), jnp.int32)
+        .at[idx]
+        .set(rank_m, mode="promise_in_bounds")
+    )[:E]
+    group_idx = jnp.cumsum(is_head_p.astype(jnp.int32)) - 1  # sorted gather
+    u_id = jnp.where(
+        live1, rank_p[jnp.clip(group_idx, 0, E - 1)], -1
+    ).astype(jnp.int32)
+    return u_k, c_k, n_k, u_id
 
 
 def _bucket_slice(u: jax.Array, c: jax.Array, n: int):
@@ -264,36 +343,29 @@ def count_unique_chunked(
     return u[:n], c[:n], n
 
 
-def count_nodes_and_edges_chunked(
-    codes, lengths, k: int, chunk_rows: int
-):
-    """Memory-bounded variant of :func:`count_nodes_and_edges`.
+def count_edges_chunked(codes, lengths, k: int, chunk_rows: int):
+    """Memory-bounded (k+1)-mer counting: per-chunk count + tree merge.
 
-    One (k+1)-mer extraction per row chunk feeds both tables; per-chunk
-    unique tables stage on host and tree-merge (see
-    ``_tree_merge_counted``). Returns ``(u_k, c_k, n_k, u_k1, n_k1)``.
+    Only the edge ((k+1)-mer) table is counted — the node table is derived
+    from it afterwards (:func:`derive_nodes_from_edges`), which halves the
+    per-chunk sort work versus counting both multisets. Returns
+    ``(u_k1, c_k1, n_k1)`` with a bucketed (SENTINEL-padded) table.
     """
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     R = codes.shape[0]
-    parts = {k: [], k + 1: []}
+    parts = []
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
         l = jnp.asarray(lengths[lo : lo + chunk_rows])
         km1 = extract_kmers(c, l, k + 1).reshape(-1)
-        km = node_multiset_from_edges(km1, extract_last_kmer(c, l, k))
-        for kk, flat in ((k, km), (k + 1, km1)):
-            u, cnt, nu = count_unique(flat)
-            nu_i = int(nu)
-            # bucketed slices keep merge shapes stable across chunks (see
-            # count_unique_chunked)
-            u, cnt, _ = _bucket_slice(u, cnt, nu_i)
-            parts[kk].append((np.asarray(u), np.asarray(cnt), nu_i))
-    u_k, c_k, n_k = _tree_merge_counted(parts[k])
-    u_k1, _, n_k1 = _tree_merge_counted(parts[k + 1])
-    # tails beyond n are SENTINEL/0 (same contract as count_nodes_and_edges,
-    # whose outputs are padded to the full window count)
-    return u_k, c_k, n_k, u_k1, n_k1
+        u, cnt, nu = count_unique(km1)
+        nu_i = int(nu)
+        # bucketed slices keep merge shapes stable across chunks (see
+        # count_unique_chunked)
+        u, cnt, _ = _bucket_slice(u, cnt, nu_i)
+        parts.append((np.asarray(u), np.asarray(cnt), nu_i))
+    return _tree_merge_counted(parts)
 
 
 def count_kmers_for_reads(

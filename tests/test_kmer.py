@@ -53,11 +53,7 @@ def test_count_nodes_and_edges_matches_two_pass():
 
     Covers len<k (no windows), len==k (one k-window, no edges), len==k+1.
     """
-    from mcaat_tpu.kmer.count import (
-        count_nodes_and_edges,
-        count_nodes_and_edges_chunked,
-        count_unique,
-    )
+    from mcaat_tpu.kmer.count import count_nodes_and_edges, count_unique
 
     rng = np.random.default_rng(7)
     k = 5
@@ -72,15 +68,65 @@ def test_count_nodes_and_edges_matches_two_pass():
     u1_ref, _, n1_ref = count_unique(km_k1)
     n_ref, n1_ref = int(n_ref), int(n1_ref)
 
-    for fn in (
-        lambda: count_nodes_and_edges(codes, lengths, k),
-        lambda: count_nodes_and_edges_chunked(codes, lengths, k, chunk_rows=3),
-    ):
-        u, c, n, u1, n1 = fn()
-        assert int(n) == n_ref and int(n1) == n1_ref
-        np.testing.assert_array_equal(np.asarray(u[:n_ref]), np.asarray(u_ref[:n_ref]))
-        np.testing.assert_array_equal(np.asarray(c[:n_ref]), np.asarray(c_ref[:n_ref]))
-        np.testing.assert_array_equal(np.asarray(u1[:n1_ref]), np.asarray(u1_ref[:n1_ref]))
+    u, c, n, u1, n1 = count_nodes_and_edges(codes, lengths, k)
+    assert int(n) == n_ref and int(n1) == n1_ref
+    np.testing.assert_array_equal(np.asarray(u[:n_ref]), np.asarray(u_ref[:n_ref]))
+    np.testing.assert_array_equal(np.asarray(c[:n_ref]), np.asarray(c_ref[:n_ref]))
+    np.testing.assert_array_equal(np.asarray(u1[:n1_ref]), np.asarray(u1_ref[:n1_ref]))
+
+
+def test_derive_nodes_from_edges_matches_direct_count():
+    """Prefix-run derivation == direct k-window counting, and u_id == the
+    source-endpoint lookup it replaces (``_lookup(u23, u24 >> 2)``).
+
+    Covers len<k, len==k (node only via last window), len==k+1, and
+    SENTINEL-padded (bucketed) edge/last tables.
+    """
+    from mcaat_tpu.graph.dbg import _lookup
+    from mcaat_tpu.kmer.count import (
+        count_edges_chunked,
+        count_unique,
+        derive_nodes_from_edges,
+        extract_last_kmer,
+    )
+
+    rng = np.random.default_rng(21)
+    k = 5
+    lens = [3, k, k + 1, 9, 30, 17, k, 12, 25, 30, 30, 30]
+    seqs = ["".join(rng.choice(list("ACGT"), size=n)) for n in lens]
+    b = encode_sequences(seqs)
+    codes, lengths = jnp.asarray(b.codes), jnp.asarray(b.lengths)
+
+    km_k = extract_kmers(codes, lengths, k).reshape(-1)
+    u_ref, c_ref, n_ref = count_unique(km_k)
+    n_ref = int(n_ref)
+
+    for chunked in (False, True):
+        if chunked:
+            u24, c24, n24 = count_edges_chunked(codes, lengths, k, chunk_rows=3)
+        else:
+            km1 = extract_kmers(codes, lengths, k + 1).reshape(-1)
+            u24, c24, n24 = count_unique(km1)
+        u_l, c_l, _n_l = count_unique(extract_last_kmer(codes, lengths, k))
+        u23, c23, n23, u_id = derive_nodes_from_edges(
+            u24, c24, jnp.int32(int(n24)), u_l, c_l
+        )
+        n23_i = int(n23)
+        assert n23_i == n_ref
+        np.testing.assert_array_equal(
+            np.asarray(u23[:n_ref]), np.asarray(u_ref[:n_ref])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(c23[:n_ref]), np.asarray(c_ref[:n_ref])
+        )
+        # u_id == join of each unique edge's prefix against the node table
+        n24_i = int(n24)
+        pref = np.asarray(u24[:n24_i]) >> 2
+        want = np.asarray(_lookup(u23[:n23_i], jnp.asarray(pref)))
+        got = np.asarray(u_id[:n24_i])
+        np.testing.assert_array_equal(got, want)
+        assert (got >= 0).all()  # every prefix IS a node
+        assert (np.asarray(u_id[n24_i:]) == -1).all()
 
 
 def test_join_lookup2_matches_searchsorted():
