@@ -329,30 +329,35 @@ def build_adjacency_chunked(
     ``u_id`` (per-edge source node ids) chunks alongside the edges.
     """
     N = int(kmers23.shape[0])
-    edges_np = np.asarray(edges24)
-    u_id_np = None if u_id is None else np.asarray(u_id)
+    # chunks slice DEVICE-resident tables: staging the edge table through
+    # host numpy and re-uploading each chunk costs hundreds of MB of
+    # host<->device traffic per build (painful over the remote-TPU tunnel)
+    # for a ~e_keep*8B HBM saving that only matters past the single-chip
+    # scale anyway
+    edges_j = jnp.asarray(edges24)
+    u_id_j = None if u_id is None else jnp.asarray(u_id)
     out_flat = jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
     in_flat = jnp.full((4 * N + 1,), -1, dtype=jnp.int32)
     for lo in range(0, max(n_edges, 1), chunk_edges):
-        chunk = edges_np[lo : min(lo + chunk_edges, n_edges)]
-        n_live = chunk.shape[0]
-        if n_live < chunk_edges:
-            pad = np.full(chunk_edges - n_live, np.iinfo(np.int64).max, np.int64)
-            chunk = np.concatenate([chunk, pad])
+        hi = min(lo + chunk_edges, n_edges)
+        chunk = edges_j[lo:hi]
+        if hi - lo < chunk_edges:
+            chunk = jnp.concatenate(
+                [chunk, jnp.full((chunk_edges - (hi - lo),), SENTINEL, jnp.int64)]
+            )
         uc = None
-        if u_id_np is not None:
-            uc = u_id_np[lo : min(lo + chunk_edges, n_edges)]
-            if uc.shape[0] < chunk_edges:
-                uc = np.concatenate(
-                    [uc, np.full(chunk_edges - uc.shape[0], -1, np.int32)]
+        if u_id_j is not None:
+            uc = u_id_j[lo:hi]
+            if hi - lo < chunk_edges:
+                uc = jnp.concatenate(
+                    [uc, jnp.full((chunk_edges - (hi - lo),), -1, jnp.int32)]
                 )
-            uc = jnp.asarray(uc)
         out_flat, in_flat = _adjacency_scatter_chunk(
             kmers23,
-            jnp.asarray(chunk),
+            chunk,
             out_flat,
             in_flat,
-            jnp.int32(n_live),
+            jnp.int32(hi - lo),
             k=k,
             u_id=uc,
         )

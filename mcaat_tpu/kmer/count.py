@@ -250,14 +250,15 @@ def derive_nodes_from_edges(u_k1, c_k1, n_k1, u_last, c_last):
     u_k, c_k, n_k, is_head_m = _compact_counted_sorted(k_s, c_s)
     rank_m = (jnp.cumsum(is_head_m.astype(jnp.int32)) - 1).astype(jnp.int32)
     # prefix-side rows always head their runs (stable sort, concat order),
-    # so rank_m at a prefix-side row IS its final node id. Dead rows dump
-    # into slot E; collisions there are sliced away.
-    idx = jnp.where(o_s >= 0, o_s, E)
-    rank_p = (
-        jnp.zeros((E + 1,), jnp.int32)
-        .at[idx]
-        .set(rank_m, mode="promise_in_bounds")
-    )[:E]
+    # so rank_m at a prefix-side row IS its final node id. Invert the
+    # merge permutation by SORTING (o_s carries each of 0..E-1 exactly
+    # once; last-side rows sort past E): the first E payloads are the
+    # ranks in prefix-table order. A dump-slot scatter formulation
+    # measured ~10x slower here — its non-unique writes serialize on TPU.
+    n_m = k_s.shape[0]
+    inv_key = jnp.where(o_s >= 0, o_s, n_m)
+    _ik, rank_p_full = jax.lax.sort((inv_key, rank_m), num_keys=1)
+    rank_p = rank_p_full[:E]
     group_idx = jnp.cumsum(is_head_p.astype(jnp.int32)) - 1  # sorted gather
     u_id = jnp.where(
         live1, rank_p[jnp.clip(group_idx, 0, E - 1)], -1
@@ -281,14 +282,22 @@ def _bucket_slice(u: jax.Array, c: jax.Array, n: int):
     return u, c, size
 
 
-def _tree_merge_counted(parts):
-    """Pairwise tree merge of host-staged (unique np, counts np, n) parts.
+# Above this many cumulative part bytes the chunked counters stage parts
+# on host between merges (bounding device peak); below it parts stay
+# device-resident — host round-trips over the remote-TPU tunnel cost more
+# than the HBM they save.
+STAGE_HOST_BYTES = 3 << 30
+
+
+def _tree_merge_counted(parts, stage_host: bool = False):
+    """Pairwise tree merge of (unique, counts, n) parts.
 
     A linear accumulate-merge chain re-sorts the growing accumulator per
     chunk — O(K²·C) sorted rows for K chunks (measured 12x slower than
-    single-pass at 62M windows). The tree does O(K·C·log K). Parts stage
-    on HOST between merges so device peak is two inputs + merge buffers,
-    not all K chunk tables.
+    single-pass at 62M windows). The tree does O(K·C·log K). With
+    ``stage_host`` parts live on HOST between merges so device peak is two
+    inputs + merge buffers, not all K chunk tables (only worth it when the
+    tables are a large fraction of HBM).
     """
     if not parts:
         return (
@@ -306,7 +315,9 @@ def _tree_merge_counted(parts):
             )
             mn_i = int(mn)
             mu, mc, _ = _bucket_slice(mu, mc, mn_i)
-            nxt.append((np.asarray(mu), np.asarray(mc), mn_i))
+            if stage_host:
+                mu, mc = np.asarray(mu), np.asarray(mc)
+            nxt.append((mu, mc, mn_i))
         if len(parts) % 2:
             nxt.append(parts[-1])
         parts = nxt
@@ -326,6 +337,10 @@ def count_unique_chunked(
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     R = codes.shape[0]
+    W = max(codes.shape[1] - k + 1, 0)
+    # upper bound on cumulative part bytes (uniques <= windows) decides
+    # host staging up front — parts already on device can't be "unstaged"
+    stage_host = R * W * 12 > STAGE_HOST_BYTES
     parts = []
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
@@ -336,8 +351,10 @@ def count_unique_chunked(
         # bucket the kept slice: exact sizes would give every chunk merge
         # a fresh shape -> a fresh (minutes-long, remote) TPU compile
         u, cnt, _ = _bucket_slice(u, cnt, nu_i)
-        parts.append((np.asarray(u), np.asarray(cnt), nu_i))
-    u, c, n = _tree_merge_counted(parts)
+        if stage_host:
+            u, cnt = np.asarray(u), np.asarray(cnt)
+        parts.append((u, cnt, nu_i))
+    u, c, n = _tree_merge_counted(parts, stage_host=stage_host)
     if n == 0 and not parts:
         return jnp.zeros((0,), jnp.int64), jnp.zeros((0,), jnp.int32), 0
     return u[:n], c[:n], n
@@ -354,6 +371,8 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int):
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     R = codes.shape[0]
+    W = max(codes.shape[1] - k, 0)
+    stage_host = R * W * 12 > STAGE_HOST_BYTES  # see count_unique_chunked
     parts = []
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
@@ -364,8 +383,10 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int):
         # bucketed slices keep merge shapes stable across chunks (see
         # count_unique_chunked)
         u, cnt, _ = _bucket_slice(u, cnt, nu_i)
-        parts.append((np.asarray(u), np.asarray(cnt), nu_i))
-    return _tree_merge_counted(parts)
+        if stage_host:
+            u, cnt = np.asarray(u), np.asarray(cnt)
+        parts.append((u, cnt, nu_i))
+    return _tree_merge_counted(parts, stage_host=stage_host)
 
 
 def count_kmers_for_reads(

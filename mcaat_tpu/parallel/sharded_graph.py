@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from mcaat_tpu.kmer.count import SENTINEL, count_unique, extract_kmers
+from mcaat_tpu.kmer.count import (
+    SENTINEL,
+    count_unique,
+    derive_nodes_from_edges,
+    extract_kmers,
+    extract_last_kmer,
+)
 from mcaat_tpu.parallel.sharded import _bucket_by_owner, _owner_shift
 
 shard_map = jax.shard_map
@@ -93,30 +99,39 @@ def build_sharded_dbg_arrays(
 
     def step(codes_local, lengths_local):
         my_kp = jax.lax.axis_index("kp")
-        # ---- distributed counting of 23-mer nodes and 24-mer edges -----
-        km23 = extract_kmers(codes_local, lengths_local, k).reshape(-1)
+        # ---- distributed counting: route ONLY the 24-mer edges and each
+        # read's last 23-window. An edge shares its top bits with its
+        # source 23-mer, so every node k-mer reaches its owner shard as a
+        # prefix of a routed edge or as a routed last window — the full
+        # 23-mer window multiset (the largest array, ~window-count rows)
+        # never crosses the interconnect, and the node table derives
+        # shard-locally from the unique edge table (derive_nodes_from_edges)
         km24 = extract_kmers(codes_local, lengths_local, k + 1).reshape(-1)
-        s23, d23 = _bucket_by_owner(km23, kp, shift23, route_cap)
+        last23 = extract_last_kmer(codes_local, lengths_local, k)
         s24, d24 = _bucket_by_owner(km24, kp, shift24, route_cap)
-        r23 = jax.lax.all_to_all(s23[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
+        s_l, d_l = _bucket_by_owner(last23, kp, shift23, route_cap)
         r24 = jax.lax.all_to_all(s24[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
-        a23 = jax.lax.all_gather(r23, "dp", tiled=True)
+        r_l = jax.lax.all_to_all(s_l[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
         a24 = jax.lax.all_gather(r24, "dp", tiled=True)
-        u23, c23, _ = count_unique(a23)
-        u24, _c24, n24 = count_unique(a24)
-        u23 = u23[:T]
-        c23 = c23[:T]
+        a_l = jax.lax.all_gather(r_l, "dp", tiled=True)
+        u24, c24, n24 = count_unique(a24)
+        u_l, c_l, _n_l = count_unique(a_l)
+        u23f, c23f, _n23, u_id = derive_nodes_from_edges(
+            u24, c24, n24, u_l, c_l
+        )
+        u23 = u23f[:T]
+        c23 = c23f[:T]
+        u_id = u_id[: 4 * T]
         u24 = u24[: 4 * T]
 
         # ---- local out-adjacency (edges are co-located with sources) ---
-        u = u24 >> jnp.int64(2)
         v = u24 & jnp.int64(mask_k)
         b = (u24 & jnp.int64(3)).astype(jnp.int32)
         live_e = u24 != SENTINEL
-        # u is local: binary search in this shard's table
-        u_pos = jnp.searchsorted(u23, jnp.where(live_e, u, SENTINEL))
-        u_pos_c = jnp.minimum(u_pos, T - 1)
-        u_ok = live_e & (u23[u_pos_c] == u) & (u != SENTINEL)
+        # source ids come from the derivation; ids beyond the shard
+        # capacity T are dropped (same overflow contract as the table slice)
+        u_pos_c = jnp.minimum(jnp.maximum(u_id, 0), T - 1)
+        u_ok = live_e & (u_id >= 0) & (u_id < T)
         # v may live anywhere: route v to its owner, get global ids back
         v_gid = _routed_lookup(u23, jnp.where(u_ok, v, SENTINEL), kp, shift23,
                                route_cap, T, my_kp)
@@ -177,7 +192,7 @@ def build_sharded_dbg_arrays(
         )
         in_local = in_flat[: 4 * T]
 
-        dropped = jax.lax.psum(d23 + d24 + d_in, ("dp", "kp"))
+        dropped = jax.lax.psum(d_l + d24 + d_in, ("dp", "kp"))
         return u23[None], c23[None], out_local[None], in_local[None], dropped
 
     fn = shard_map(

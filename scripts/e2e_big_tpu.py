@@ -49,7 +49,12 @@ def main():
     t1 = time.time()
     result = run_pipeline(s, verbose=True)
     dt = time.time() - t1
-    print(f"END-TO-END: {n_reads} reads in {dt:.1f}s = {n_reads/dt:,.0f} reads/s",
+    print(f"END-TO-END cold: {n_reads} reads in {dt:.1f}s = {n_reads/dt:,.0f} reads/s",
+          flush=True)
+    t1 = time.time()
+    result = run_pipeline(s, verbose=True)
+    dt = time.time() - t1
+    print(f"END-TO-END warm: {n_reads} reads in {dt:.1f}s = {n_reads/dt:,.0f} reads/s",
           flush=True)
 
     from mcaat_tpu.io.fastq import reverse_complement
