@@ -144,6 +144,32 @@ class HostDBG:
         res.sort()
         return res
 
+    def _band_filtered(self, node: int, nbrs: list[int]) -> list[int]:
+        m = float(self.mult[node])
+        return [
+            v
+            for v in nbrs
+            if float(self.mult[v]) >= m / 2 and float(self.mult[v]) <= m * 1.2
+        ]
+
+    def band_outgoing_list(self, node: int) -> list[int]:
+        """Valid out-neighbors within the multiplicity band [m/2, 1.2m].
+
+        ≙ graph_generic_func::_GetOutgoings (reference
+        src/graph_generic_func.cpp:7-19): neighbors whose multiplicity
+        deviates from the node's by more than the band ("higher
+        variability") are dropped. Empty when the node itself is invalid.
+        """
+        if not self.valid[node]:
+            return []
+        return self._band_filtered(node, self.outgoing_list(node))
+
+    def band_incoming_list(self, node: int) -> list[int]:
+        """≙ graph_generic_func::_GetIncomings (src/graph_generic_func.cpp:21-34)."""
+        if not self.valid[node]:
+            return []
+        return self._band_filtered(node, self.incoming_list(node))
+
 
 @jax.jit
 def _lookup(table: jax.Array, query: jax.Array) -> jax.Array:
@@ -224,6 +250,23 @@ def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
     nbr_ok = (nbrs >= 0) & valid[jnp.maximum(nbrs, 0)]
     nbr_ok &= (ids >= 0)[..., None]
     return jnp.where(nbr_ok, nbrs, -1)
+
+
+@jax.jit
+def _band_neighbors(
+    adj: jax.Array, valid: jax.Array, mult: jax.Array, ids: jax.Array
+) -> jax.Array:
+    """Batched multiplicity-band neighbor fetch: keep neighbors whose
+    multiplicity lies in [m/2, 1.2*m] of the query node's (and both ends
+    valid). Device-batched equivalent of graph_generic_func::_GetOutgoings
+    / _GetIncomings (reference src/graph_generic_func.cpp:7-34) — pass
+    ``out`` or ``in_`` as ``adj``. Returns [Q, 4] int32, -1 padded."""
+    nbrs = _neighbors(adj, valid, ids)  # [Q,4], already validity-masked
+    m = mult[jnp.maximum(ids, 0)].astype(jnp.float32)[..., None]
+    nm = mult[jnp.maximum(nbrs, 0)].astype(jnp.float32)
+    ok = (nbrs >= 0) & (nm >= m / 2) & (nm <= m * 1.2)
+    ok &= ((ids >= 0) & valid[jnp.maximum(ids, 0)])[..., None]
+    return jnp.where(ok, nbrs, -1)
 
 
 @jax.jit

@@ -251,3 +251,59 @@ def test_profiler_stages():
     assert prof.stages[0].counters == {"nodes": 100, "edges": 50}
     assert "build" in prof.report()
     assert "build" in prof.to_json()
+
+
+# ---- band-filtered neighbors (graph_generic_func parity) --------------------
+
+
+def test_band_neighbor_lists():
+    # node 0 (mult 10) -> {1 (mult 5), 2 (mult 12), 3 (mult 13)}:
+    # band [5, 12] keeps 1 and 2, drops 3; incoming mirrors it
+    g = toy_host_graph(
+        {0: "AAA", 1: "AAC", 2: "AAG", 3: "AAT"},
+        {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]},
+        mult=[10, 5, 12, 13],
+    )
+    assert g.band_outgoing_list(0) == [1, 2]
+    assert g.band_incoming_list(0) == [1, 2]
+    # invalid node yields nothing (ref graph_generic_func.cpp:9-11)
+    g.valid[0] = False
+    assert g.band_outgoing_list(0) == []
+    # invalid neighbors are dropped before the band test
+    g.valid[0] = True
+    g.valid[2] = False
+    assert g.band_outgoing_list(0) == [1]
+
+
+def test_band_neighbors_device_matches_host():
+    import jax.numpy as jnp
+
+    from mcaat_tpu.graph.dbg import _band_neighbors
+
+    g = toy_host_graph(
+        {0: "AAA", 1: "AAC", 2: "AAG", 3: "AAT"},
+        {0: [1, 2, 3], 1: [0, 2], 2: [0], 3: [0]},
+        mult=[10, 5, 12, 13],
+    )
+    ids = jnp.asarray(np.arange(4, dtype=np.int32))
+    dev = _band_neighbors(
+        jnp.asarray(g.out.reshape(-1)),
+        jnp.asarray(g.valid),
+        jnp.asarray(g.mult),
+        ids,
+    )
+    for node in range(4):
+        got = sorted(int(v) for v in np.asarray(dev[node]) if v >= 0)
+        assert got == g.band_outgoing_list(node)
+
+
+# ---- node counter (node_counter.h intent) -----------------------------------
+
+
+def test_node_counter():
+    from mcaat_tpu.cycles.node_counter import count_nodes, unique_nodes
+
+    cycles = {7: [1, 2, 3, 2], 9: [3, 4]}
+    assert count_nodes(cycles) == {1: 1, 2: 2, 3: 2, 4: 1}
+    assert unique_nodes(cycles) == {1: 1, 4: 1}
+    assert count_nodes({}) == {}
