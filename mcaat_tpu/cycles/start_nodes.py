@@ -249,11 +249,19 @@ def select_start_nodes(
         print(f"ChunkStartNodes: {len(cand)} candidates pass the static filter")
     reach = self_reachable_batch(graph, cand, cycle_max_length)
     kept = cand[reach]
-    mult = np.asarray(graph.mult)[kept]
+    return bucket_start_nodes(kept, np.asarray(graph.mult)[kept], verbose=verbose)
+
+
+def bucket_start_nodes(
+    kept: np.ndarray, mult: np.ndarray, verbose: bool = True
+) -> dict[int, list[int]]:
+    """Bucket surviving start nodes by ceil(log2(multiplicity))
+    (src/cycle_finder.cpp:414-416); shared by the single-device and
+    sharded candidate scans."""
     buckets: dict[int, list[int]] = {}
-    for node, m in zip(kept.tolist(), mult.tolist()):
+    for node, m in zip(np.asarray(kept).tolist(), np.asarray(mult).tolist()):
         key = int(np.ceil(np.log2(m))) if m > 1 else 0
-        buckets.setdefault(key, []).append(node)
+        buckets.setdefault(key, []).append(int(node))
     if verbose:
         total = sum(len(v) for v in buckets.values())
         for key in sorted(buckets, reverse=True):

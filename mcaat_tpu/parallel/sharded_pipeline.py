@@ -1,0 +1,430 @@
+"""End-to-end pipeline over a sharded graph — no full-graph compaction.
+
+Round-1 left the distributed primitives (``sharded_prune_and_candidates``,
+``frontier_step``, ``sharded_lookup``) as dead code: the production path
+compacted the sharded build to ONE device before pruning. Here the graph
+stays sharded through prune → candidate scan → neighborhood extraction →
+read mapping; only two *small* compactions ever happen:
+
+1. the **enumeration subgraph** — union forward-reachable set of the
+   static start-node candidates within ``cycle_max_length`` steps
+   (output-preserving, see ``cycles/neighborhood.py``) — for the host
+   DFS;
+2. the **ordering region** — the undirected ``read_len``-hop expansion
+   of the cycle nodes (exactly the set the reference keeps and the rest
+   invalidates, ``src/spacer_ordering.cpp:78-139``) — for the host
+   combinatorial stages.
+
+Both are proportional to CRISPR-candidate neighborhoods, not N, which is
+what makes the 1B-node target viable (SURVEY §7.3 risk 4; the reference
+searches its full-size graph in one address space,
+``src/cycle_finder.cpp:387-492``).
+
+Layout note: ``ShardedDBG`` stores per-shard arrays ``[kp, T]`` /
+``[kp, 4T]`` with global id ``g = shard*T + local``; flattening gives
+slot ``shard*4T + 4*local + b == 4*g + b`` — the *same* flat addressing
+as the single-device ``DBG``, so global-id gathers and masks compose
+with the single-device kernels unchanged.
+
+Read-chain ids: the sharded pipeline remaps everything downstream of the
+region compaction to compact local ids. Read-chain entries *outside* the
+region map to unique negative surrogates (-2 - rank) — distinct from the
+-1 miss sentinel and from every region id, preserving the chains'
+equality structure (ordering only ever tests membership/equality on
+them), so the ordering output is identical to the single-device run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mcaat_tpu.graph.dbg import DBG, _bucket_size
+from mcaat_tpu.kmer.count import SENTINEL
+from mcaat_tpu.parallel.sharded import _owner_shift, make_pipeline_mesh, sharded_lookup
+from mcaat_tpu.parallel.sharded_graph import (
+    ShardedDBG,
+    build_sharded_dbg,
+    frontier_step,
+    sharded_prune_and_candidates,
+)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BFS (host-orchestrated frontier_step loops)
+# ---------------------------------------------------------------------------
+
+
+def sharded_touched_mask(
+    sg: ShardedDBG,
+    valid,  # [kp, T] — current validity (post-prune)
+    seeds: np.ndarray,  # global ids
+    radius: int,
+) -> np.ndarray:
+    """Union forward-reachable mask (bool [kp*T]) from ``seeds`` within
+    ``radius`` out-steps through valid nodes.
+
+    Each level is one ``frontier_step`` (route → gather → route back over
+    the kp axis); the visited set is a host bitmap, so per-level cost is
+    ∝ the frontier, not N.
+    """
+    kp, T = sg.kmers.shape
+    N = kp * T
+    valid_h = np.asarray(valid).reshape(-1)
+    visited = np.zeros(N, dtype=bool)
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    seeds = seeds[valid_h[seeds]]
+    visited[seeds] = True
+    frontier = seeds.astype(np.int32)
+    for _ in range(radius):
+        if len(frontier) == 0:
+            break
+        Q = _bucket_size(len(frontier))
+        fr = np.full(Q, -1, dtype=np.int32)
+        fr[: len(frontier)] = frontier
+        nbrs = np.asarray(
+            frontier_step(
+                sg.mesh, sg.kmers, sg.out, valid, jnp.asarray(fr), route_cap=Q
+            )
+        )
+        new = np.unique(nbrs[nbrs >= 0])
+        new = new[~visited[new]]
+        visited[new] = True
+        frontier = new.astype(np.int32)
+    return visited
+
+
+def sharded_region_mask(
+    sg: ShardedDBG,
+    valid,  # [kp, T]
+    seeds: np.ndarray,
+    hops: int,
+) -> np.ndarray:
+    """Undirected ``hops``-hop expansion of ``seeds``: invalid neighbors
+    join the reached set but only valid nodes expand (≙ the reference's
+    keep_crispr_regions_extended_by_k, src/spacer_ordering.cpp:96-129).
+    """
+    kp, T = sg.kmers.shape
+    N = kp * T
+    valid_h = np.asarray(valid).reshape(-1)
+    ones = jnp.ones((kp, T), dtype=bool)  # raw neighbors — no target filter
+    reached = np.zeros(N, dtype=bool)
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    reached[seeds] = True
+    frontier = seeds[valid_h[seeds]].astype(np.int32)
+    for _ in range(hops):
+        if len(frontier) == 0:
+            break
+        Q = _bucket_size(len(frontier))
+        fr = np.full(Q, -1, dtype=np.int32)
+        fr[: len(frontier)] = frontier
+        frj = jnp.asarray(fr)
+        out_n = np.asarray(
+            frontier_step(sg.mesh, sg.kmers, sg.out, ones, frj, route_cap=Q)
+        )
+        in_n = np.asarray(
+            frontier_step(sg.mesh, sg.kmers, sg.in_, ones, frj, route_cap=Q)
+        )
+        nbrs = np.concatenate([out_n.reshape(-1), in_n.reshape(-1)])
+        new = np.unique(nbrs[nbrs >= 0])
+        new = new[~reached[new]]
+        reached[new] = True
+        frontier = new[valid_h[new]].astype(np.int32)
+    return reached
+
+
+# ---------------------------------------------------------------------------
+# Subgraph compaction (the only host-sized materializations)
+# ---------------------------------------------------------------------------
+
+
+def extract_sharded_subgraph(
+    sg: ShardedDBG, valid, mask: np.ndarray
+) -> tuple[DBG, np.ndarray]:
+    """Compact the masked global rows into a single-device DBG + id map.
+
+    Adjacency entries leaving the mask become -1. ``gids`` is ascending,
+    so compact-id order == global-id order == k-mer rank order — all
+    downstream deterministic orderings are preserved.
+    """
+    gids = np.nonzero(mask)[0].astype(np.int64)
+    if len(gids) == 0:
+        empty = DBG(
+            k=sg.k,
+            kmers=jnp.zeros((0,), jnp.int64),
+            mult=jnp.zeros((0,), jnp.int32),
+            out=jnp.zeros((0,), jnp.int32),
+            in_=jnp.zeros((0,), jnp.int32),
+            valid=jnp.zeros((0,), bool),
+        )
+        return empty, gids
+    sel = jnp.asarray(gids)
+    kmers = np.asarray(sg.kmers.reshape(-1)[sel])
+    mult = np.asarray(sg.mult.reshape(-1)[sel])
+    valid_sel = np.asarray(valid.reshape(-1)[sel])
+    out_rows = np.asarray(_gather_rows4(sg.out.reshape(-1), sel))
+    in_rows = np.asarray(_gather_rows4(sg.in_.reshape(-1), sel))
+
+    def remap(a):
+        pos = np.searchsorted(gids, np.maximum(a, 0))
+        pos_c = np.minimum(pos, max(len(gids) - 1, 0))
+        hit = (a >= 0) & (gids[pos_c] == np.maximum(a, 0))
+        return np.where(hit, pos_c, -1).astype(np.int32)
+
+    graph = DBG(
+        k=sg.k,
+        kmers=jnp.asarray(kmers),
+        mult=jnp.asarray(mult.astype(np.int32)),
+        out=jnp.asarray(remap(out_rows).reshape(-1)),
+        in_=jnp.asarray(remap(in_rows).reshape(-1)),
+        valid=jnp.asarray(valid_sel),
+    )
+    return graph, gids
+
+
+@jax.jit
+def _gather_rows4(flat: jax.Array, ids: jax.Array) -> jax.Array:
+    slots = (ids * 4)[:, None] + jnp.arange(4, dtype=ids.dtype)
+    return flat[slots]
+
+
+# ---------------------------------------------------------------------------
+# Cycle search on the sharded graph
+# ---------------------------------------------------------------------------
+
+
+def sharded_find_cycles(
+    sg: ShardedDBG,
+    threshold_multiplicity: int = 20,
+    cycle_min_length: int = 27,
+    cycle_max_length: int = 77,
+    verbose: bool = True,
+):
+    """Distributed prune + candidate scan + neighborhood-compacted host
+    enumeration. Returns (valid [kp,T] post-prune, {global start: cycles}).
+
+    ≙ CycleFinder::FindApproximateCRISPRArrays
+    (src/cycle_finder.cpp:433-492) with the whole-graph passes sharded.
+    """
+    from mcaat_tpu.cycles.finder import enumerate_on_arrays
+    from mcaat_tpu.cycles.start_nodes import bucket_start_nodes, self_reachable_batch
+
+    valid, cand = sharded_prune_and_candidates(
+        sg.mesh, sg.mult, sg.out, sg.in_, sg.valid,
+        threshold_multiplicity=threshold_multiplicity,
+    )
+    cand_ids = np.nonzero(np.asarray(cand).reshape(-1))[0]
+    if verbose:
+        print(f"ChunkStartNodes: {len(cand_ids)} candidates pass the static filter")
+    if len(cand_ids) == 0:
+        return valid, {}
+
+    mask = sharded_touched_mask(sg, valid, cand_ids, cycle_max_length)
+    sub, gids = extract_sharded_subgraph(sg, valid, mask)
+    if verbose:
+        print(
+            f"Neighborhood extraction: {len(gids)} nodes touched by "
+            f"{len(cand_ids)} candidates (graph capacity {sg.kmers.size})"
+        )
+    loc_cand = np.searchsorted(gids, cand_ids).astype(np.int32)
+    reach = self_reachable_batch(sub, loc_cand, cycle_max_length)
+    kept_loc = loc_cand[reach]
+    buckets_loc = bucket_start_nodes(
+        kept_loc, np.asarray(sub.mult)[kept_loc], verbose=verbose
+    )
+    results_loc = enumerate_on_arrays(
+        np.asarray(sub.out).reshape(-1, 4),
+        np.asarray(sub.in_).reshape(-1, 4),
+        np.asarray(sub.valid),
+        np.asarray(sub.mult),
+        buckets_loc,
+        cycle_min_length,
+        cycle_max_length,
+        verbose=verbose,
+    )
+    results = {
+        int(gids[start]): [[int(gids[v]) for v in cyc] for cyc in cycles]
+        for start, cycles in results_loc.items()
+    }
+    return valid, results
+
+
+# ---------------------------------------------------------------------------
+# Read mapping through the sharded table
+# ---------------------------------------------------------------------------
+
+
+def sharded_get_reads(
+    sg: ShardedDBG,
+    fastq_file_1: str,
+    fastq_file_2: str | None,
+    cycles: list[list[int]],
+    chunk_reads: int = 1 << 20,
+) -> list[list[int]]:
+    """≙ reference get_reads (src/reads.cpp:91-130) with every window
+    lookup routed to its owner shard (``sharded_lookup`` over kp); chains
+    carry GLOBAL node ids."""
+    from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
+
+    cycle_nodes = sorted({int(n) for cyc in cycles for n in cyc})
+    chains: list[list[int]] = []
+    chains.extend(
+        _map_batch_sharded(sg, read_encoded_batch(fastq_file_1), cycle_nodes, chunk_reads)
+    )
+    if fastq_file_2:
+        b2 = reverse_complement_batch(read_encoded_batch(fastq_file_2))
+        chains.extend(_map_batch_sharded(sg, b2, cycle_nodes, chunk_reads))
+    return chains
+
+
+def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
+    from mcaat_tpu.kmer.count import extract_kmers
+
+    if full_batch.num_reads == 0:
+        return []
+    kp, T = sg.kmers.shape
+    shift = _owner_shift(sg.k, kp)
+    dp = sg.mesh.shape["dp"]
+    n_dev = dp * kp
+    cyc = np.asarray(cycle_nodes, dtype=np.int64)
+    k = sg.k
+    L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
+    chains: list[list[int]] = []
+    for lo in range(0, full_batch.num_reads, chunk_reads):
+        c_np = full_batch.codes[lo : lo + chunk_reads]
+        l_np = full_batch.lengths[lo : lo + chunk_reads]
+        R = c_np.shape[0]
+        R_pad = _bucket_size(R)
+        codes = np.zeros((R_pad, L_pad), dtype=np.uint8)
+        codes[:R, : c_np.shape[1]] = c_np
+        lengths = np.zeros((R_pad,), dtype=np.int32)
+        lengths[:R] = l_np
+        if L_pad < k:
+            continue
+        kmers = extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+        W = kmers.shape[1]
+        flat = kmers.reshape(-1)
+        Q = flat.shape[0]
+        Q_pad = (Q + n_dev - 1) // n_dev * n_dev
+        if Q_pad > Q:
+            flat = jnp.concatenate(
+                [flat, jnp.full((Q_pad - Q,), SENTINEL, dtype=flat.dtype)]
+            )
+        route_cap = _bucket_size(max(Q_pad // n_dev, 1))
+        idx, _dropped = sharded_lookup(
+            sg.mesh, sg.kmers.reshape(-1), flat, k, route_cap=route_cap
+        )
+        idx = np.asarray(idx)[:Q].reshape(R_pad, W)
+        owner = np.asarray((flat[:Q] >> shift)).astype(np.int64).reshape(R_pad, W)
+        ids = np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)[:R]
+        n_windows = np.maximum(lengths[:R] - k + 1, 0).astype(np.int32)
+        firsts = ids[:, 0] if W else np.full(R, -1)
+        lasts = ids[np.arange(R), np.clip(n_windows - 1, 0, max(W - 1, 0))]
+        eligible = (lengths[:R] > 2 * k) & (n_windows > 0)
+        keep = eligible & (np.isin(firsts, cyc) | np.isin(lasts, cyc))
+        chains.extend(
+            ids[r, : int(n_windows[r])].tolist() for r in np.nonzero(keep)[0]
+        )
+    return chains
+
+
+# ---------------------------------------------------------------------------
+# Region condensation + id remapping for the host ordering stages
+# ---------------------------------------------------------------------------
+
+
+def condense_region(
+    sg: ShardedDBG,
+    valid,
+    cycles: list[list[int]],
+    reads: list[list[int]],
+    read_chain_len: int,
+):
+    """Compact the read_len-hop cycle region and remap cycles + reads.
+
+    Returns (region DBG with only region nodes valid, cycles_compact,
+    reads_compact). Out-of-region read ids map to unique negative
+    surrogates (see module docstring).
+    """
+    seeds = np.asarray(
+        sorted({int(n) for cyc in cycles for n in cyc}), dtype=np.int64
+    )
+    reached = sharded_region_mask(sg, valid, seeds, read_chain_len)
+    region, gids = extract_sharded_subgraph(sg, valid, reached)
+    # ≙ with_valid(valid & reached): everything outside the region is
+    # invalid — inside the compact graph that is every remaining row
+    m = len(gids)
+
+    def remap_ids(ids: np.ndarray, surrogate_of: dict[int, int]) -> list[int]:
+        res = []
+        for x in ids:
+            x = int(x)
+            if x < 0:
+                res.append(-1)
+                continue
+            pos = np.searchsorted(gids, x)
+            if pos < m and gids[pos] == x:
+                res.append(int(pos))
+            else:
+                res.append(surrogate_of.setdefault(x, -2 - len(surrogate_of)))
+        return res
+
+    surrogate_of: dict[int, int] = {}
+    cycles_c = [remap_ids(np.asarray(c), surrogate_of) for c in cycles]
+    reads_c = [remap_ids(np.asarray(r), surrogate_of) for r in reads]
+    return region, cycles_c, reads_c
+
+
+# ---------------------------------------------------------------------------
+# Build (no compaction) — capacity sizing mirrors pipeline._build_graph_sharded
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_graph_for_pipeline(codes, lengths, settings):
+    """Distributed build retained as a ShardedDBG (no single-device
+    compaction). Returns None if capacities overflow after retries
+    (caller falls back to the single-device build)."""
+    from mcaat_tpu.graph.dbg import _reverse_complement_batch
+
+    k = 23
+    codes_j = jnp.asarray(codes)
+    lengths_j = jnp.asarray(lengths)
+    if settings.add_reverse_complement:
+        rc_codes, rc_lengths = _reverse_complement_batch(codes_j, lengths_j)
+        codes_j = jnp.concatenate([codes_j, rc_codes], axis=0)
+        lengths_j = jnp.concatenate([lengths_j, rc_lengths], axis=0)
+    codes_np = np.asarray(codes_j)
+    lengths_np = np.asarray(lengths_j)
+
+    mesh = make_pipeline_mesh()
+    dp, kp = mesh.shape["dp"], mesh.shape["kp"]
+    R, L = codes_np.shape
+    rows_mult = dp * kp
+    R_pad = (R + rows_mult - 1) // rows_mult * rows_mult
+    if R_pad > R:
+        codes_np = np.concatenate(
+            [codes_np, np.zeros((R_pad - R, L), np.uint8)], axis=0
+        )
+        lengths_np = np.concatenate(
+            [lengths_np, np.zeros(R_pad - R, np.int32)], axis=0
+        )
+    windows = R_pad * max(L - k + 1, 0)
+    local_windows = windows // (dp * kp)
+    route_cap = _bucket_size(local_windows)
+    shard_cap = _bucket_size(max(windows // kp, 1) * 2)
+    for _attempt in range(3):
+        graph_s, dropped = build_sharded_dbg(
+            mesh,
+            codes_np,
+            lengths_np,
+            k=k,
+            route_cap=route_cap,
+            shard_cap=min(shard_cap, _bucket_size(windows)),
+        )
+        if dropped == 0:
+            return graph_s
+        shard_cap *= 2
+        route_cap *= 2
+    return None

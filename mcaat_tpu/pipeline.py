@@ -58,12 +58,8 @@ class PipelineResult:
     profile: object = None  # utils.profiling.Profiler of the run
 
 
-def build_graph_from_settings(settings: Settings) -> DBG:
-    """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp).
-
-    Uses the native parser when built (2-bit codes filled in C++, no
-    Python string materialization).
-    """
+def _load_input_codes(settings: Settings) -> tuple[np.ndarray, np.ndarray]:
+    """Parse all input files into one padded 2-bit code matrix."""
     from mcaat_tpu.io.fastq import read_encoded_batch
 
     batches = [read_encoded_batch(path) for path in settings.input_file_list()]
@@ -78,9 +74,23 @@ def build_graph_from_settings(settings: Settings) -> DBG:
         codes[row : row + b.num_reads, : b.max_len] = b.codes
         lengths[row : row + b.num_reads] = b.lengths
         row += b.num_reads
+    return codes, lengths
+
+
+def _sharded_mode(settings: Settings) -> bool:
     import jax
 
-    if settings.mesh != "off" and len(jax.devices()) > 1:
+    return settings.mesh != "off" and len(jax.devices()) > 1
+
+
+def build_graph_from_settings(settings: Settings) -> DBG:
+    """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp).
+
+    Uses the native parser when built (2-bit codes filled in C++, no
+    Python string materialization).
+    """
+    codes, lengths = _load_input_codes(settings)
+    if _sharded_mode(settings):
         graph = _build_graph_sharded(codes, lengths, settings)
         if graph is not None:
             return graph
@@ -360,6 +370,98 @@ def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResu
     return result
 
 
+def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
+    """Full pipeline with the graph sharded over the device mesh.
+
+    Build, prune, candidate scan and read-window lookups run distributed
+    (``parallel/sharded_pipeline.py``); the host combinatorial stages see
+    only two small compactions (candidate neighborhood, cycle region).
+    Returns None if the sharded build overflows its capacity retries
+    (caller falls back to the single-device path).
+    """
+    from mcaat_tpu.parallel.sharded_pipeline import (
+        build_sharded_graph_for_pipeline,
+        condense_region,
+        sharded_find_cycles,
+        sharded_get_reads,
+    )
+    from mcaat_tpu.utils.profiling import Profiler
+
+    prof = Profiler()
+    result = PipelineResult()
+    t0 = time.time()
+    cfs = settings.cycle_finder_settings
+
+    codes, lengths = _load_input_codes(settings)
+    with prof.stage("graph_build"):
+        sg = build_sharded_graph_for_pipeline(codes, lengths, settings)
+    if sg is None:
+        return None
+    if verbose:
+        print(
+            f"Graph built (sharded over {dict(sg.mesh.shape)}): "
+            f"capacity {sg.kmers.size} rows ({time.time() - t0:.2f}s)"
+        )
+
+    with prof.stage("cycle_search"):
+        valid, cycles_map = sharded_find_cycles(
+            sg,
+            threshold_multiplicity=cfs.threshold_multiplicity,
+            cycle_min_length=cfs.cycle_min_length,
+            cycle_max_length=cfs.cycle_max_length,
+            verbose=verbose,
+        )
+    prof.count("cycle_search", start_nodes=len(cycles_map))
+    result.cycles_map = cycles_map
+    result.cycles = cycles_map_to_cycles(cycles_map)
+    if verbose:
+        print(f"Number of nodes in results: {len(cycles_map)}")
+        print("🔸STEP 6: Finding relevant reads")
+
+    f1, f2 = settings.fastq_files()
+    with prof.stage("read_mapping"):
+        reads = sharded_get_reads(sg, f1, f2, result.cycles)
+    prof.count("read_mapping", reads=len(reads))
+    result.reads = reads
+    if verbose:
+        print(f"    ▸ Found {len(reads)} reads")
+        print("🔸STEP 7: Order the spacers")
+
+    read_chain_len = len(reads[0]) if reads else 0
+    with prof.stage("spacer_ordering"):
+        region, cycles_c, reads_c = condense_region(
+            sg, valid, result.cycles, reads, read_chain_len
+        )
+        graph, found_systems = spacer_ordering_step(
+            region, reads_c, cycles_c, verbose
+        )
+    prof.count("spacer_ordering", systems=len(found_systems))
+    result.graph = graph
+    result.found_systems = found_systems
+
+    if settings.benchmark_file:
+        if verbose:
+            print("🔸STEP 8: Compare to ground of truth using benchmark file")
+        benchmark_results(settings, found_systems)
+    elif verbose:
+        print("🔸STEP 8: Results")
+        print_results(found_systems)
+
+    all_systems: dict[str, list[str]] = {}
+    for fs in found_systems:
+        all_systems[fs.repeat] = fs.spacers
+    analyzer = CRISPRAnalyzer(all_systems, settings.output_file or "CRISPR_Arrays.txt")
+    with prof.stage("report"):
+        result.report_text = analyzer.run_analysis()
+    result.profile = prof
+    if verbose:
+        print(f"Saved in: {analyzer.output_path}")
+        print("Stage timings:")
+        print(prof.report())
+        print(f"Total time: {time.time() - t0:.2f}s")
+    return result
+
+
 def run_pipeline(
     settings: Settings,
     verbose: bool = True,
@@ -371,10 +473,22 @@ def run_pipeline(
     .npz, cycles/reads JSON) and completed stages are skipped on rerun —
     first-class stage resume (SURVEY §5; the reference only materializes
     the graph folder and deletes it at the end).
+
+    With multiple devices and ``settings.mesh != "off"`` the graph stays
+    sharded over the mesh through build → prune → candidate scan →
+    read mapping (``parallel/sharded_pipeline.py``); only the candidate
+    neighborhood and the cycle region are ever compacted. Checkpointed
+    runs use the single-compaction path (stage artifacts are
+    single-device npz files).
     """
     import os
 
     from mcaat_tpu.utils.profiling import Profiler
+
+    if checkpoint_dir is None and _sharded_mode(settings):
+        result = _run_pipeline_sharded(settings, verbose)
+        if result is not None:
+            return result
 
     prof = Profiler()
     result = PipelineResult()

@@ -1,0 +1,91 @@
+"""Full-sharded pipeline vs single-device pipeline: identical output.
+
+VERDICT r1 item 1's done-criterion: run_pipeline with the graph sharded
+over the 8-virtual-CPU mesh must produce output identical to the
+single-device run on synthetic fixtures (the golden fixture is covered
+by test_golden.py, which also runs through the sharded path under the
+test mesh).
+"""
+
+import numpy as np
+import pytest
+
+from mcaat_tpu.pipeline import run_pipeline
+from mcaat_tpu.settings import Settings
+from tests.synthetic import make_metagenome, write_fastq
+
+
+def _run(tmp_path, meta, mesh, name):
+    f1 = tmp_path / f"{name}.fq"
+    write_fastq(str(f1), meta["reads"])
+    s = Settings()
+    s.input_files = str(f1)
+    s.mesh = mesh
+    s.output_file = str(tmp_path / f"report_{name}.txt")
+    return run_pipeline(s, verbose=False)
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_matches_single_device(tmp_path):
+    meta = make_metagenome(seed=11, n_arrays=1, n_spacers=6, coverage=40.0)
+    res_single = _run(tmp_path, meta, "off", "single")
+    res_sharded = _run(tmp_path, meta, "auto", "sharded")
+    assert res_sharded.report_text == res_single.report_text
+    assert len(res_sharded.found_systems) == len(res_single.found_systems)
+    for a, b in zip(res_sharded.found_systems, res_single.found_systems):
+        assert a.full_sequence == b.full_sequence
+        assert a.repeat == b.repeat
+        assert a.spacers == b.spacers
+        assert a.confidence_cycle_resolution == b.confidence_cycle_resolution
+        assert a.confidence_topological_sort == b.confidence_topological_sort
+    # same cycle structure (ids differ by layout; compare counts + lengths)
+    assert len(res_sharded.cycles) == len(res_single.cycles)
+    assert sorted(len(c) for c in res_sharded.cycles) == sorted(
+        len(c) for c in res_single.cycles
+    )
+    assert len(res_sharded.reads) == len(res_single.reads)
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_two_arrays(tmp_path):
+    meta = make_metagenome(seed=23, n_arrays=2, n_spacers=5, coverage=40.0)
+    res_single = _run(tmp_path, meta, "off", "single2")
+    res_sharded = _run(tmp_path, meta, "auto", "sharded2")
+    assert res_sharded.report_text == res_single.report_text
+    assert len(res_sharded.found_systems) == len(res_single.found_systems)
+
+
+def test_sharded_cycles_match_kmers(tmp_path):
+    """Cycle node ids from the sharded search name the same k-mers as the
+    single-device search (ids are layout-local; k-mer labels are not)."""
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.cycles.finder import find_cycles
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.parallel.sharded_pipeline import (
+        build_sharded_graph_for_pipeline,
+        sharded_find_cycles,
+    )
+
+    meta = make_metagenome(seed=5, n_arrays=1, n_spacers=5, coverage=40.0)
+    batch = encode_sequences(meta["reads"])
+    s = Settings()
+    sg = build_sharded_graph_for_pipeline(batch.codes, batch.lengths, s)
+    assert sg is not None
+    _valid, results_sharded = sharded_find_cycles(sg, verbose=False)
+
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    _g2, results_single = find_cycles(g, verbose=False)
+
+    km_sh = np.asarray(sg.kmers).reshape(-1)
+    km_si = np.asarray(g.kmers)
+    cyc_sh = sorted(
+        tuple(int(km_sh[v]) for v in cyc)
+        for cycles in results_sharded.values()
+        for cyc in cycles
+    )
+    cyc_si = sorted(
+        tuple(int(km_si[v]) for v in cyc)
+        for cycles in results_single.values()
+        for cyc in cycles
+    )
+    assert cyc_sh == cyc_si
