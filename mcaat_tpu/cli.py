@@ -170,6 +170,13 @@ def main(argv: list[str] | None = None) -> int:
 
     honor_cpu_env()  # a user's JAX_PLATFORMS=cpu must beat sitecustomize
 
+    # multi-host entry: wires jax.distributed from MCAAT_COORDINATOR /
+    # MCAAT_NUM_PROCESSES / MCAAT_PROCESS_ID before any backend init
+    # (no-op for single-process runs; see parallel/multihost.py)
+    from mcaat_tpu.parallel.multihost import initialize_distributed
+
+    initialize_distributed()
+
     from mcaat_tpu.pipeline import run_pipeline
 
     print("-------------------------------------------------------")

@@ -1,0 +1,239 @@
+"""Multi-host scaffolding: distributed init, host×chip mesh, input ranges.
+
+The reference is single-process shared-memory OpenMP with no distributed
+backend at all (SURVEY §2.3); its scale ceiling is one node's RAM. The
+TPU-native scale-out path runs one process per host of a pod slice:
+
+* ``initialize_distributed`` wires ``jax.distributed`` from env vars
+  (``MCAAT_COORDINATOR``/``MCAAT_NUM_PROCESSES``/``MCAAT_PROCESS_ID``) —
+  on Cloud TPU the arguments are auto-detected and the vars are optional.
+* ``make_host_mesh`` builds the ("dp", "kp") mesh over ALL processes'
+  devices with each host's local devices forming kp columns, so the
+  heavy ``all_to_all`` k-mer/frontier routing rides ICI within a host
+  and only the dp-axis reductions cross DCN.
+* ``read_host_shard`` gives each host its share of the input FASTQ
+  records: contiguous byte-ranges for plain files (Hadoop-style record
+  boundary scan — no host reads more than its slice), modulo-record
+  assignment for gzip streams (not seekable).
+* ``host_local_rows_to_global`` lifts each host's read rows into one
+  global jax.Array sharded over ("dp", "kp") rows, which the existing
+  ``shard_map`` build kernels consume unchanged (they only see their
+  local shard either way).
+
+Tested by ``scripts/multihost_dryrun.py`` (2 ``jax.distributed``
+processes on localhost, CPU backend + Gloo collectives) via
+``tests/test_multihost.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def initialize_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Initialize jax.distributed if a multi-process run is configured.
+
+    Returns True when running multi-process (after initialize), False for
+    single-process runs. Safe to call twice (second call is a no-op).
+    """
+    import jax
+
+    coordinator = coordinator or os.environ.get("MCAAT_COORDINATOR")
+    if num_processes is None and "MCAAT_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["MCAAT_NUM_PROCESSES"])
+    if process_id is None and "MCAAT_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["MCAAT_PROCESS_ID"])
+    if coordinator is None and num_processes is None:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # second call (already initialized) is fine; anything else is not
+        if "already" not in str(e):
+            raise
+    return jax.process_count() > 1
+
+
+def make_host_mesh():
+    """("dp", "kp") mesh over all processes: hosts stack along dp, each
+    host's local devices form the kp axis (power-of-two enforced by
+    dropping trailing local devices if needed)."""
+    import jax
+    from jax.sharding import Mesh
+
+    n_local = len(jax.local_devices())
+    kp = 1 << (n_local.bit_length() - 1)  # pow2 floor of local device count
+    devs = jax.devices()
+    n_proc = jax.process_count()
+    # jax.devices() orders by process; take the first kp of each process
+    rows = []
+    for p in range(n_proc):
+        pdevs = [d for d in devs if d.process_index == p][:kp]
+        rows.append(pdevs)
+    arr = np.array(rows)  # [n_proc, kp]
+    return Mesh(arr, ("dp", "kp"))
+
+
+# ---------------------------------------------------------------------------
+# Per-host input ranges
+# ---------------------------------------------------------------------------
+
+
+def _find_fastq_boundary(buf: bytes, is_fasta: bool) -> int:
+    """Offset of the first record start at/after position 0 in ``buf``.
+
+    FASTA: next line starting with '>'. FASTQ: a line starting with '@'
+    whose line+2 starts with '+' ('@' alone is ambiguous — it can open a
+    quality line)."""
+    if is_fasta:
+        if buf.startswith(b">"):
+            return 0
+        i = buf.find(b"\n>")
+        return i + 1 if i >= 0 else len(buf)
+    # FASTQ
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if (pos == 0 or buf[pos - 1 : pos] == b"\n") and buf[pos : pos + 1] == b"@":
+            # verify: line after next starts with '+'
+            e1 = buf.find(b"\n", pos)
+            e2 = buf.find(b"\n", e1 + 1) if e1 >= 0 else -1
+            if e2 >= 0 and buf[e2 + 1 : e2 + 2] == b"+":
+                return pos
+            if e1 < 0:
+                break
+        nxt = buf.find(b"\n", pos)
+        if nxt < 0:
+            break
+        pos = nxt + 1
+    return n
+
+
+def host_byte_range(path: str, process_id: int, num_processes: int):
+    """(start, end) byte range of this host's slice of a PLAIN text file,
+    aligned to record boundaries (start included, end exclusive; the
+    record containing ``end`` belongs to the next host)."""
+    size = os.path.getsize(path)
+    lo = size * process_id // num_processes
+    hi = size * (process_id + 1) // num_processes
+    is_fasta = False
+    with open(path, "rb") as fh:
+        first = fh.read(1)
+        is_fasta = first == b">"
+
+        def align(off):
+            if off == 0:
+                return 0
+            if off >= size:
+                return size
+            fh.seek(off)
+            window = fh.read(1 << 20)
+            return off + _find_fastq_boundary(window, is_fasta)
+
+        return align(lo), align(hi)
+
+
+def read_host_shard(path: str, process_id: int, num_processes: int):
+    """This host's share of the file's records as a ReadBatch.
+
+    Plain files: contiguous byte-range (each host reads only its slice).
+    Gzip: stream-parse everything, keep records ``process_id::num_processes``
+    (gzip streams are not seekable; IO is replicated but memory is not).
+    """
+    from mcaat_tpu.io.fastq import (
+        ReadBatch,
+        encode_sequences,
+        read_encoded_batch,
+    )
+
+    if num_processes <= 1:
+        return read_encoded_batch(path)
+    if path.endswith(".gz"):
+        b = read_encoded_batch(path)
+        sel = np.arange(process_id, b.num_reads, num_processes)
+        return ReadBatch(codes=b.codes[sel], lengths=b.lengths[sel])
+    lo, hi = host_byte_range(path, process_id, num_processes)
+    with open(path, "rb") as fh:
+        fh.seek(lo)
+        chunk = fh.read(hi - lo)
+    seqs = _parse_fastx_bytes(chunk)
+    return encode_sequences(seqs)
+
+
+def _parse_fastx_bytes(chunk: bytes) -> list[str]:
+    """Parse FASTA/FASTQ records from an in-memory byte slice."""
+    seqs: list[str] = []
+    if not chunk:
+        return seqs
+    text = chunk.decode("ascii", errors="replace")
+    lines = text.split("\n")
+    if chunk.lstrip()[:1] == b">":
+        cur: list[str] = []
+        for line in lines:
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                cur = []
+            elif line.strip():
+                cur.append(line.strip())
+        if cur:
+            seqs.append("".join(cur))
+        return seqs
+    i = 0
+    while i + 1 < len(lines):
+        if lines[i].startswith("@"):
+            seqs.append(lines[i + 1].strip())
+            i += 4
+        else:
+            i += 1
+    return seqs
+
+
+# ---------------------------------------------------------------------------
+# Host-local rows -> global sharded array
+# ---------------------------------------------------------------------------
+
+
+def host_local_rows_to_global(mesh, codes: np.ndarray, lengths: np.ndarray):
+    """Lift per-host read rows into global arrays sharded P(("dp","kp")).
+
+    Rows are padded per host to a common per-host row count (max over
+    hosts, psum'd) divisible by the local mesh columns; zero-length pad
+    rows contribute no k-mer windows.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jax.experimental import multihost_utils
+
+    dp, kp = mesh.shape["dp"], mesh.shape["kp"]
+    n_local_shards = len(mesh.local_devices)
+    R, L = codes.shape
+    # agree on a common (max) per-host row count and max length
+    maxes = multihost_utils.process_allgather(
+        np.asarray([R, L], dtype=np.int64)
+    )  # [n_proc, 2]
+    R_max = int(maxes[:, 0].max())
+    L_max = int(maxes[:, 1].max())
+    rows_per_host = (R_max + n_local_shards - 1) // n_local_shards * n_local_shards
+    codes_p = np.zeros((rows_per_host, L_max), dtype=np.uint8)
+    codes_p[:R, :L] = codes
+    lengths_p = np.zeros((rows_per_host,), dtype=np.int32)
+    lengths_p[:R] = lengths
+
+    codes_sh = NamedSharding(mesh, P(("dp", "kp"), None))
+    len_sh = NamedSharding(mesh, P(("dp", "kp")))
+    g_codes = jax.make_array_from_process_local_data(codes_sh, codes_p)
+    g_lengths = jax.make_array_from_process_local_data(len_sh, lengths_p)
+    return g_codes, g_lengths

@@ -1,0 +1,164 @@
+"""Multi-host dryrun: 2 jax.distributed processes on localhost (CPU+Gloo).
+
+Parent mode (no args): writes a deterministic synthetic FASTQ, spawns 2
+child processes wired via MCAAT_* env vars, and checks both report OK.
+
+Child mode (MCAAT_PROCESS_ID set): initializes jax.distributed, builds
+the host×chip mesh, reads its per-host record range, lifts the rows into
+a global sharded array, runs the distributed count→build (all_to_all
+over kp, all_gather over dp — now ACROSS process boundaries), verifies
+the node table against a single-process reference build, and runs one
+cross-host frontier-exchange step.
+
+Usage:  python scripts/multihost_dryrun.py
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+N_PROC = 2
+LOCAL_DEVICES = 4
+K = 13
+
+
+def parent() -> int:
+    from synthetic import make_metagenome, write_fastq
+
+    meta = make_metagenome(seed=41, n_arrays=1, n_spacers=4, coverage=25.0)
+    tmpdir = tempfile.mkdtemp(prefix="mcaat_mh_")
+    fq = os.path.join(tmpdir, "reads.fq")
+    write_fastq(fq, meta["reads"])
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(N_PROC):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+        )
+        env["MCAAT_COORDINATOR"] = f"localhost:{port}"
+        env["MCAAT_NUM_PROCESSES"] = str(N_PROC)
+        env["MCAAT_PROCESS_ID"] = str(pid)
+        env["MCAAT_MH_FASTQ"] = fq
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    ok = True
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        if p.returncode != 0 or f"MULTIHOST OK pid={pid}" not in out:
+            ok = False
+            print(f"--- child {pid} (rc={p.returncode}) ---")
+            print(out[-4000:])
+    if ok:
+        print("MULTIHOST DRYRUN PASSED")
+        return 0
+    return 1
+
+
+def child() -> int:
+    from mcaat_tpu.utils.env import honor_cpu_env
+
+    honor_cpu_env()
+    import jax
+
+    from mcaat_tpu.parallel.multihost import (
+        host_local_rows_to_global,
+        initialize_distributed,
+        make_host_mesh,
+        read_host_shard,
+    )
+
+    assert initialize_distributed(), "distributed init failed"
+    pid = jax.process_index()
+    n_proc = jax.process_count()
+    assert n_proc == N_PROC, (n_proc, N_PROC)
+    mesh = make_host_mesh()
+    assert dict(mesh.shape) == {"dp": N_PROC, "kp": LOCAL_DEVICES}, mesh
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mcaat_tpu.kmer.count import SENTINEL
+    from mcaat_tpu.parallel.sharded_graph import build_sharded_dbg, frontier_step
+
+    fq = os.environ["MCAAT_MH_FASTQ"]
+    batch = read_host_shard(fq, pid, n_proc)
+    assert batch.num_reads > 0, "empty host shard"
+    g_codes, g_lengths = host_local_rows_to_global(mesh, batch.codes, batch.lengths)
+
+    sg, dropped = build_sharded_dbg(
+        mesh, g_codes, g_lengths, k=K, route_cap=1 << 13, shard_cap=1 << 13
+    )
+    assert dropped == 0, dropped
+
+    # replicate the node table to every host and check it against a
+    # single-process reference build over the full file
+    rep = jax.jit(
+        lambda a, b: (a, b),
+        out_shardings=NamedSharding(mesh, P()),
+    )(sg.kmers, sg.mult)
+    kmers_h = np.asarray(rep[0]).reshape(-1)
+    mult_h = np.asarray(rep[1]).reshape(-1)
+    live = kmers_h != int(SENTINEL)
+    got = dict(zip(kmers_h[live].tolist(), mult_h[live].tolist()))
+
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import read_encoded_batch
+
+    full = read_encoded_batch(fq)
+    ref = build_dbg_from_reads(
+        full.codes, full.lengths, k=K, add_reverse_complement=False,
+        bucket_shapes=False,
+    )
+    want = dict(
+        zip(
+            np.asarray(ref.kmers).tolist(),
+            np.asarray(ref.mult).tolist(),
+        )
+    )
+    assert got == want, (
+        f"node table mismatch: {len(got)} vs {len(want)} nodes"
+    )
+
+    # one cross-host frontier-exchange step on replicated seed ids
+    live_gids = np.nonzero(live)[0][:16].astype(np.int32)
+    frontier = np.full(32, -1, dtype=np.int32)
+    frontier[: len(live_gids)] = live_gids
+    nbrs = frontier_step(
+        mesh, sg.kmers, sg.out, sg.valid, jnp.asarray(frontier), route_cap=1 << 8
+    )
+    n_exp = int(jnp.sum(jax.jit(
+        lambda x: jnp.sum(x >= 0), out_shardings=NamedSharding(mesh, P())
+    )(nbrs)))
+    assert n_exp > 0, "frontier expanded nothing"
+
+    print(
+        f"MULTIHOST OK pid={pid}: {len(got)} nodes, host shard "
+        f"{batch.num_reads} reads, frontier expanded {n_exp}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(child() if "MCAAT_PROCESS_ID" in os.environ else parent())
