@@ -186,7 +186,21 @@ def main(argv: list[str] | None = None) -> int:
     print("Step 1. Checking the inputs: ")
     err = settings.print_settings()
     if err:
+        # ≙ release main's interactive cleanup of the just-created output
+        # folder on bad settings (src/main.cpp:503-512). Non-interactive
+        # stdin (tests, batch jobs) behaves like answering 'n'.
         print(f"Please check the following: {err}")
+        print(f"Folder {settings.output_folder} will be deleted due to errors.")
+        answer = ""
+        if sys.stdin is not None and sys.stdin.isatty():
+            answer = input("Do you want that folder to be removed? (y/n): ")
+        if not answer or answer[0] not in "yY":
+            print("Exiting the program.")
+            return 1
+        print(f"Removing folder: {settings.output_folder}")
+        import shutil
+
+        shutil.rmtree(settings.output_folder, ignore_errors=True)
         return 1
     print("All inputs are correct. [✔]")
     if settings.debug_pipeline:
@@ -198,6 +212,15 @@ def main(argv: list[str] | None = None) -> int:
             settings,
             checkpoint_dir=settings.graph_folder if settings.resume else None,
         )
+        # ≙ end-of-run graph-folder cleanup (src/main.cpp:584-590); kept
+        # only when the folder holds resume checkpoints the user asked for
+        if settings.graph_folder and not settings.resume:
+            import shutil
+
+            try:
+                shutil.rmtree(settings.graph_folder)
+            except OSError as e:
+                print(f"Warning: Could not remove graph folder: {e}")
     return 0
 
 

@@ -28,3 +28,29 @@ def unique_nodes(cycles: dict[int, list[int]]) -> dict[int, int]:
     ≙ NodeCounter::filter_only_unique_nodes (node_counter.h:27-35).
     """
     return {n: c for n, c in count_nodes(cycles).items() if c == 1}
+
+
+class NodeCounter:
+    """Literal-shape port of the reference struct (include/node_counter.h),
+    including its position-keyed count map (the reference keys ``counts``
+    by the node's index within its cycle, not by node id — preserved
+    as-is; the documented-intent counting lives in :func:`count_nodes`).
+    """
+
+    def __init__(self, input_cycles: dict[int, list[int]]):
+        self.input_cycles = input_cycles
+        self.counts: dict[int, list] = {}
+        self._count_nodes()
+
+    def _count_nodes(self) -> None:
+        for _cid, nodes in self.input_cycles.items():
+            for i, node_id in enumerate(nodes):
+                entry = self.counts.setdefault(i, [0, 0])
+                entry[0] += 1
+                entry[1] = node_id
+
+    def filter_only_unique_nodes(self) -> None:
+        self.counts = {k: v for k, v in self.counts.items() if v[0] == 1}
+
+    def get_counts(self) -> dict[int, list]:
+        return self.counts

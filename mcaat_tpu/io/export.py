@@ -79,25 +79,6 @@ class PathWriter:
 
 
 # -- NodeCounter (include/node_counter.h) ------------------------------------
-
-
-class NodeCounter:
-    """Per-position occurrence counting across cycles (DEVELOP helper)."""
-
-    def __init__(self, input_cycles: dict[int, list[int]]):
-        self.input_cycles = input_cycles
-        self.counts: dict[int, list] = {}
-        self._count_nodes()
-
-    def _count_nodes(self) -> None:
-        for _cid, nodes in self.input_cycles.items():
-            for i, node_id in enumerate(nodes):
-                entry = self.counts.setdefault(i, [0, 0])
-                entry[0] += 1
-                entry[1] = node_id
-
-    def filter_only_unique_nodes(self) -> None:
-        self.counts = {k: v for k, v in self.counts.items() if v[0] == 1}
-
-    def get_counts(self) -> dict[int, list]:
-        return self.counts
+# single implementation lives in cycles/node_counter.py; re-exported here
+# because the reference declares the struct alongside its io helpers
+from mcaat_tpu.cycles.node_counter import NodeCounter  # noqa: E402,F401

@@ -322,6 +322,20 @@ def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResu
 
     result = PipelineResult()
     graph = build_graph_from_settings(settings)
+
+    # ≙ DEBUG main's node-multiplicity histogram dump (src/main.cpp:497-510):
+    # "Multiplicity {m}: {c} nodes" lines into node_multiplicities.txt
+    mult_h = np.asarray(graph.mult)[np.asarray(graph.valid)]
+    values, counts = np.unique(mult_h, return_counts=True)
+    if verbose:
+        print("Node Multiplicity Distribution:")
+    hist_path = os.path.join(
+        settings.output_folder or ".", "node_multiplicities.txt"
+    )
+    with open(hist_path, "w") as fh:
+        for m, c in zip(values.tolist(), counts.tolist()):
+            fh.write(f"Multiplicity {m}: {c} nodes\n")
+
     cfs = settings.cycle_finder_settings
     graph, cycles_map = find_cycles(
         graph,

@@ -10,9 +10,9 @@ Replaces the vendored rapidfuzz-cpp (reference
   any alignment window of the longer one.
 
 The LCS inside ``ratio`` uses Hyyrö's bit-parallel algorithm (O(n·m/w));
-spacer-scale strings (≤ 50 bp) need a single machine word. A batched
-Pallas banded-DP kernel backs the same API for device-side bulk scoring
-(see ``report/pallas_dp.py`` once instances grow past host scale).
+spacer-scale strings (≤ 50 bp) need a single machine word. Device-side
+bulk scoring with the same semantics lives in ``report/batched_fuzz.py``
+(parity-tested against this module).
 """
 
 from __future__ import annotations

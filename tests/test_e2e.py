@@ -123,3 +123,31 @@ def test_two_arrays_detected(tmp_path):
     all_spacers = [sp for a in meta["arrays"] for sp in a["spacers"]]
     assert len(result.found_systems) >= 2
     assert spacers_found(result, all_spacers) >= 0.5
+
+
+@pytest.mark.slow
+def test_debug_pipeline_smoke(tmp_path):
+    """DEBUG-main extension end-to-end (src/main.cpp:358-493): Filters →
+    analyzer → protospacers → phage curation, plus the multiplicity
+    histogram dump (src/main.cpp:497-510)."""
+    import os
+
+    from mcaat_tpu.pipeline import run_debug_pipeline
+    from mcaat_tpu.settings import Settings
+
+    meta = make_metagenome(seed=13, n_arrays=1, n_spacers=5, coverage=35.0)
+    f1 = tmp_path / "r.fq"
+    write_fastq(str(f1), meta["reads"])
+    s = Settings()
+    s.input_files = str(f1)
+    s.output_folder = str(tmp_path)
+    s.output_file = str(tmp_path / "CRISPR_Arrays.txt")
+    result = run_debug_pipeline(s, verbose=False)
+    assert result.report_text
+    hist = tmp_path / "node_multiplicities.txt"
+    assert hist.exists()
+    lines = hist.read_text().strip().splitlines()
+    assert lines and all(
+        l.startswith("Multiplicity ") and l.endswith(" nodes") for l in lines
+    )
+    assert (tmp_path / "grouped_paths_protospacers.txt").exists()
