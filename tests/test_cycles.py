@@ -226,3 +226,66 @@ def test_extraction_parity_on_synthetic_metagenome():
         g, buckets, 27, 77, verbose=False, min_nodes_for_extraction=0
     )
     assert full == extracted
+
+
+def test_tangle_cluster_bounds_abort():
+    """A start node with > CLUSTER_BOUNDS (500) cycles aborts cleanly with
+    no cycles (src/cycle_finder.cpp:132,161-165; our clean-abort
+    divergence is documented in cycles/finder.py). 10 segments of 2
+    parallel paths = 2^10 = 1024 distinct bounded cycles through node 0,
+    with uniform multiplicity so the mult-ratio filter stays out of the
+    way. Exercises the native enumerator when built (same contract)."""
+    from mcaat_tpu.cycles.finder import enumerate_on_arrays
+
+    edges = {}
+    nid = 1
+    cur = 0  # segment merge point; start node is 0
+    for _seg in range(10):
+        a1, a2, b1, b2, nxt = nid, nid + 1, nid + 2, nid + 3, nid + 4
+        nid += 5
+        edges[cur] = [a1, b1]
+        edges[a1] = [a2]
+        edges[b1] = [b2]
+        edges[a2] = [nxt]
+        edges[b2] = [nxt]
+        cur = nxt
+    edges[cur] = [0]  # close back to start
+    g = make_graph(edges, nid, mult=[50] * nid)
+    results = enumerate_on_arrays(
+        np.asarray(g.out).reshape(-1, 4),
+        np.asarray(g.in_).reshape(-1, 4),
+        np.asarray(g.valid),
+        np.asarray(g.mult),
+        {5: [0]},
+        cycle_min_length=3,
+        cycle_max_length=77,
+        verbose=False,
+    )
+    assert results[0] == []  # tangle: clean abort, no junk cycles
+
+    # control: 8 segments = 256 cycles < 500 -> fully enumerated
+    edges2 = {}
+    nid = 1
+    cur = 0
+    for _seg in range(8):
+        a1, a2, b1, b2, nxt = nid, nid + 1, nid + 2, nid + 3, nid + 4
+        nid += 5
+        edges2[cur] = [a1, b1]
+        edges2[a1] = [a2]
+        edges2[b1] = [b2]
+        edges2[a2] = [nxt]
+        edges2[b2] = [nxt]
+        cur = nxt
+    edges2[cur] = [0]
+    g2 = make_graph(edges2, nid, mult=[50] * nid)
+    results2 = enumerate_on_arrays(
+        np.asarray(g2.out).reshape(-1, 4),
+        np.asarray(g2.in_).reshape(-1, 4),
+        np.asarray(g2.valid),
+        np.asarray(g2.mult),
+        {5: [0]},
+        cycle_min_length=3,
+        cycle_max_length=77,
+        verbose=False,
+    )
+    assert len(results2[0]) == 256

@@ -47,3 +47,76 @@ def test_golden_truth_recovered(tmp_path):
         or reverse_complement(repeat)[:-1] in result.report_text
     )
     assert "Number of Systems: 1" in result.report_text
+
+
+def _run_fixture(tmp_path, input_files: str):
+    s = Settings(
+        input_files=input_files,
+        output_file=str(tmp_path / "CRISPR_Arrays.txt"),
+    )
+    return run_pipeline(s, verbose=False)
+
+
+def _report_fixture(name: str) -> str:
+    return open(os.path.join(DATA, f"{name}_CRISPR_Arrays.txt")).read()
+
+
+@pytest.mark.slow
+def test_golden_rc_only_array(tmp_path):
+    """Array present only on the reverse-complement strand: megahit-style
+    both-strand counting must still recover it (src/main_run_and_debug.cpp:54-56)."""
+    result = _run_fixture(tmp_path, os.path.join(DATA, "golden_rc_reads.fq"))
+    assert result.report_text == _report_fixture("golden_rc")
+    truth = json.load(open(os.path.join(DATA, "golden_rc_truth.json")))
+    from mcaat_tpu.io.fastq import reverse_complement
+
+    found = sum(
+        1
+        for sp in truth[0]["spacers"]
+        if sp[6:-6] in result.report_text
+        or reverse_complement(sp[6:-6]) in result.report_text
+    )
+    assert found == len(truth[0]["spacers"])
+
+
+@pytest.mark.slow
+def test_golden_mutated_repeat(tmp_path):
+    """One repeat occurrence carries a point mutation; the extension scan
+    tolerates point mutations (tmp_utils.cpp:239-263) and the array is
+    still reported (possibly split at the mutated occurrence)."""
+    result = _run_fixture(tmp_path, os.path.join(DATA, "golden_mut_reads.fq"))
+    assert result.report_text == _report_fixture("golden_mut")
+    truth = json.load(open(os.path.join(DATA, "golden_mut_truth.json")))
+    from mcaat_tpu.io.fastq import reverse_complement
+
+    found = sum(
+        1
+        for sp in truth[0]["spacers"]
+        if sp[6:-6] in result.report_text
+        or reverse_complement(sp[6:-6]) in result.report_text
+    )
+    assert found >= 4  # fixture loses the spacers flanking the mutation
+    assert "Number of Systems: 1" in result.report_text
+
+
+@pytest.mark.slow
+def test_golden_paired_end(tmp_path):
+    """Paired-end input: mate-2 file is stored reverse-complemented and
+    flipped back by the mapper (reads.cpp:116-127)."""
+    files = (
+        os.path.join(DATA, "golden_pe_1.fq")
+        + " "
+        + os.path.join(DATA, "golden_pe_2.fq")
+    )
+    result = _run_fixture(tmp_path, files)
+    assert result.report_text == _report_fixture("golden_pe")
+    truth = json.load(open(os.path.join(DATA, "golden_pe_truth.json")))
+    from mcaat_tpu.io.fastq import reverse_complement
+
+    found = sum(
+        1
+        for sp in truth[0]["spacers"]
+        if sp[6:-6] in result.report_text
+        or reverse_complement(sp[6:-6]) in result.report_text
+    )
+    assert found == len(truth[0]["spacers"])
