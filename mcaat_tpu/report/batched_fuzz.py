@@ -124,13 +124,30 @@ def _popcount(x: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def ratio_batch(a_codes, a_lengths, b_codes, b_lengths) -> jax.Array:
-    """fuzz::ratio per lane, float32 [B] in [0, 100]."""
+def _ratio_batch_scan(a_codes, a_lengths, b_codes, b_lengths) -> jax.Array:
     lcs = lcs_batch(a_codes, a_lengths, b_codes, b_lengths)
     total = (a_lengths + b_lengths).astype(jnp.float32)
     return jnp.where(
         total > 0, 200.0 * lcs.astype(jnp.float32) / total, 100.0
     )
+
+
+def ratio_batch(a_codes, a_lengths, b_codes, b_lengths) -> jax.Array:
+    """fuzz::ratio per lane, float32 [B] in [0, 100].
+
+    Dispatch: on TPU the Pallas kernel (``report.pallas_dp``) — measured
+    11x over the lax.scan version on v5e (6.1M vs 0.55M pairs/s at 262k
+    pairs; the scan's per-step ``masks[lane, c]`` random gather is the
+    killer) — else the scan (CPU backend; Pallas interpret mode is far
+    slower than the scan there).
+    """
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from mcaat_tpu.report.pallas_dp import ratio_batch_pallas
+
+        return ratio_batch_pallas(a_codes, a_lengths, b_codes, b_lengths)
+    return _ratio_batch_scan(a_codes, a_lengths, b_codes, b_lengths)
 
 
 def pairwise_ratio_matrix(strings: list[str]) -> np.ndarray:

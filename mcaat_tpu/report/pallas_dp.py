@@ -1,0 +1,155 @@
+"""Pallas TPU kernel for batched bit-parallel edit-distance scoring.
+
+The named BASELINE kernel-efficiency deliverable ("banded-DP inner loops
+at speed-of-light"): rapidfuzz ``fuzz::ratio`` semantics (indel distance
+via LCS, reference include/post_processing.h:114) for ≤64bp strings —
+spacers and repeats are 23-50bp (settings.h:39-44).
+
+Same math as ``report.batched_fuzz.lcs_batch`` (Hyyrö bit-parallel LCS,
+64-bit row emulated as a pair of uint32 words), restructured for the
+VPU:
+
+* pairs are laid out ``[G, 128]`` (sublanes × lanes), so every DP-state
+  op is a native ``(8, 128)`` vector tile — one program scores 1024
+  pairs;
+* the per-lane match masks are precomputed by XLA (einsum over the
+  one-hot — MXU work) and passed in as ``[4, G, 128]`` planes; the
+  kernel's inner loop is 64 statically-unrolled steps of pure bitwise
+  VPU ops on VMEM-resident state — no HBM traffic inside the scan.
+
+Parity with the lax.scan implementation (and transitively the host
+``report.fuzz``) is asserted in ``tests/test_pallas_dp.py``.
+
+Measured on v5e (scripts/perf_r2b.py): see the module docstring of
+``report.batched_fuzz`` for the A/B numbers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcaat_tpu.report.batched_fuzz import MAXLEN, _match_masks
+
+GROUP = 8  # sublane rows per program -> 8*128 = 1024 pairs/program
+
+
+def _lcs_kernel(mlo_ref, mhi_ref, b_ref, blen_ref, alen_ref, flo_ref, fhi_ref, out_ref):
+    # the length-dependent all-ones masks are precomputed by XLA and
+    # passed in: Mosaic cannot legalize unsigned min (arith.minui) on
+    # this toolchain, and the kernel body then needs only &,|,+,-,
+    # compares and shifts-by-constant
+    full_lo = flo_ref[:]
+    full_hi = fhi_ref[:]
+
+    blen = blen_ref[:]
+    slo, shi = full_lo, full_hi
+    for j in range(MAXLEN):
+        c = b_ref[j].astype(jnp.int32)  # [G, 128]
+        mlo = jnp.where(
+            c == 0,
+            mlo_ref[0],
+            jnp.where(c == 1, mlo_ref[1], jnp.where(c == 2, mlo_ref[2], mlo_ref[3])),
+        )
+        mhi = jnp.where(
+            c == 0,
+            mhi_ref[0],
+            jnp.where(c == 1, mhi_ref[1], jnp.where(c == 2, mhi_ref[2], mhi_ref[3])),
+        )
+        ulo, uhi = slo & mlo, shi & mhi
+        plo = slo + ulo
+        phi = shi + uhi + (plo < slo).astype(jnp.uint32)
+        qlo = slo - ulo
+        qhi = shi - uhi - (slo < ulo).astype(jnp.uint32)
+        nlo, nhi = plo | qlo, phi | qhi
+        live = j < blen
+        slo = jnp.where(live, nlo & full_lo, slo)
+        shi = jnp.where(live, nhi & full_hi, shi)
+
+    ones = _popcount32(slo & full_lo) + _popcount32(shi & full_hi)
+    out_ref[:] = alen_ref[:] - ones.astype(jnp.int32)
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lcs_batch_pallas(
+    a_codes: jax.Array,
+    a_lengths: jax.Array,
+    b_codes: jax.Array,
+    b_lengths: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """LCS length per pair (|a| ≤ 64); drop-in for batched_fuzz.lcs_batch."""
+    B = a_codes.shape[0]
+    lanes = GROUP * 128
+    B_pad = (B + lanes - 1) // lanes * lanes
+
+    def pad(x, fill=0):
+        if x.shape[0] == B_pad:
+            return x
+        pad_width = [(0, B_pad - B)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    masks = _match_masks(pad(a_codes), pad(a_lengths))  # [B_pad, 4, 2]
+    G = B_pad // 128
+    mlo = masks[:, :, 0].T.reshape(4, G, 128)
+    mhi = masks[:, :, 1].T.reshape(4, G, 128)
+    bT = pad(b_codes).T.reshape(MAXLEN, G, 128)
+    blen = pad(b_lengths).reshape(G, 128)
+    alen_flat = pad(a_lengths)
+    alen = alen_flat.reshape(G, 128)
+
+    # length-dependent all-ones masks, precomputed in XLA (see kernel)
+    la = alen_flat.astype(jnp.uint32)
+    lo_sh = jnp.minimum(la, jnp.uint32(31))
+    full_lo = jnp.where(la >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << lo_sh) - 1)
+    ha = jnp.where(la > 32, la - 32, jnp.uint32(0))
+    hi_sh = jnp.minimum(ha, jnp.uint32(31))
+    full_hi = jnp.where(ha >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << hi_sh) - 1)
+    flo = full_lo.reshape(G, 128)
+    fhi = full_hi.reshape(G, 128)
+
+    grid = G // GROUP
+    # the session enables jax_enable_x64 (48-bit packed k-mers); Mosaic
+    # cannot compile 64-bit values, and under x64 even the BlockSpec
+    # index-map constants trace as i64 ("func.return (i64, i32, i64)") —
+    # scope the kernel call to 32-bit mode (all operands are ≤32-bit)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+        _lcs_kernel,
+        out_shape=jax.ShapeDtypeStruct((G, 128), jnp.int32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((4, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAXLEN, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        )(mlo, mhi, bT, blen, alen, flo, fhi)
+    return out.reshape(B_pad)[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ratio_batch_pallas(
+    a_codes, a_lengths, b_codes, b_lengths, interpret: bool = False
+) -> jax.Array:
+    """fuzz::ratio per pair, float32 [B] in [0, 100] (Pallas DP core)."""
+    lcs = lcs_batch_pallas(a_codes, a_lengths, b_codes, b_lengths, interpret)
+    total = (a_lengths + b_lengths).astype(jnp.float32)
+    return jnp.where(total > 0, 200.0 * lcs.astype(jnp.float32) / total, 100.0)

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from mcaat_tpu.kmer.count import count_unique, extract_kmers
-from mcaat_tpu.kmer.pallas_kernels import extract_kmers_pallas
+# (pallas extraction kernel removed: Mosaic cannot compile 64-bit kernels)
 from mcaat_tpu.graph.dbg import _build_adjacency, _lookup
 
 
