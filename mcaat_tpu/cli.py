@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
     # (no-op for single-process runs; see parallel/multihost.py)
     from mcaat_tpu.parallel.multihost import initialize_distributed
 
-    initialize_distributed()
+    multihost = initialize_distributed()
 
     from mcaat_tpu.pipeline import run_pipeline
 
@@ -203,7 +203,11 @@ def main(argv: list[str] | None = None) -> int:
         shutil.rmtree(settings.output_folder, ignore_errors=True)
         return 1
     print("All inputs are correct. [✔]")
-    if settings.debug_pipeline:
+    if multihost:
+        from mcaat_tpu.parallel.multihost import run_pipeline_multihost
+
+        run_pipeline_multihost(settings)
+    elif settings.debug_pipeline:
         from mcaat_tpu.pipeline import run_debug_pipeline
 
         run_debug_pipeline(settings)

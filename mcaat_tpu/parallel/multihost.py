@@ -204,6 +204,155 @@ def _parse_fastx_bytes(chunk: bytes) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
+def run_pipeline_multihost(settings, verbose: bool = True):
+    """Full pipeline across jax.distributed processes.
+
+    The memory/compute-heavy graph build runs distributed over the
+    host×chip mesh (each host streams its own record range of the input
+    files and routes k-mers over the global kp axis); the built graph is
+    then replicated to every host, and the downstream stages (cycle
+    search, read mapping, ordering, report) run host-locally. Only
+    process 0 writes outputs; the others park at the final barrier.
+
+    This is the reference's scale story inverted: where the OpenMP
+    binary needs one node's RAM to hold the whole build (readme.md:15,
+    3h for 1B nodes), the build here spreads over all hosts' HBM. Full
+    sharded-downstream execution across processes (no replication) is
+    the single-process path in parallel/sharded_pipeline.py; its host
+    orchestration is process-local for now.
+
+    Returns a PipelineResult on process 0, None on other processes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mcaat_tpu.graph.dbg import _bucket_size
+    from mcaat_tpu.io.fastq import ReadBatch, reverse_complement_batch
+    from mcaat_tpu.kmer.count import SENTINEL
+    from mcaat_tpu.parallel.sharded_graph import (
+        ShardedDBG,
+        build_sharded_dbg,
+        sharded_dbg_to_dbg,
+    )
+
+    pid = jax.process_index()
+    n_proc = jax.process_count()
+    mesh = make_host_mesh()
+
+    # per-host record ranges of every input file
+    batches = []
+    for path in settings.input_file_list():
+        b = read_host_shard(path, pid, n_proc)
+        if b.num_reads:
+            batches.append(b)
+    max_len = max((b.max_len for b in batches), default=0)
+    n_rows = sum(b.num_reads for b in batches)
+    codes = np.zeros((n_rows, max_len), dtype=np.uint8)
+    lengths = np.zeros(n_rows, dtype=np.int32)
+    row = 0
+    for b in batches:
+        codes[row : row + b.num_reads, : b.max_len] = b.codes
+        lengths[row : row + b.num_reads] = b.lengths
+        row += b.num_reads
+    if settings.add_reverse_complement:
+        rc = reverse_complement_batch(ReadBatch(codes=codes, lengths=lengths))
+        codes = np.concatenate([codes, rc.codes], axis=0)
+        lengths = np.concatenate([lengths, rc.lengths], axis=0)
+
+    g_codes, g_lengths = host_local_rows_to_global(mesh, codes, lengths)
+    R_g, L_g = g_codes.shape
+    k = 23
+    windows = R_g * max(L_g - k + 1, 0)
+    kp = mesh.shape["kp"]
+    route_cap = _bucket_size(max(windows // (mesh.shape["dp"] * kp), 1))
+    shard_cap = _bucket_size(max(windows // kp, 1) * 2)
+    sg = None
+    for _attempt in range(3):
+        cand, dropped = build_sharded_dbg(
+            mesh, g_codes, g_lengths, k=k,
+            route_cap=route_cap, shard_cap=min(shard_cap, _bucket_size(windows)),
+        )
+        if dropped == 0:
+            sg = cand
+            break
+        route_cap *= 2
+        shard_cap *= 2
+    if sg is None:
+        raise RuntimeError("multi-host sharded build overflowed its capacities")
+    if verbose and pid == 0:
+        print(f"Multi-host graph built over {dict(mesh.shape)} "
+              f"({n_proc} processes)")
+
+    # replicate the (built) graph to every host, then compact locally
+    rep = jax.jit(
+        lambda *a: a, out_shardings=NamedSharding(mesh, P())
+    )(sg.kmers, sg.mult, sg.out, sg.in_)
+    sg_rep = ShardedDBG(
+        k=k, mesh=mesh,
+        kmers=jnp.asarray(np.asarray(rep[0])),
+        mult=jnp.asarray(np.asarray(rep[1])),
+        out=jnp.asarray(np.asarray(rep[2])),
+        in_=jnp.asarray(np.asarray(rep[3])),
+        valid=jnp.asarray(np.asarray(rep[0]) != SENTINEL),
+    )
+    graph = sharded_dbg_to_dbg(sg_rep)
+
+    result = None
+    if pid == 0:
+        result = _downstream_from_graph(settings, graph, verbose=verbose)
+    multihost_utils.sync_global_devices("mcaat_pipeline_end")
+    return result
+
+
+def _downstream_from_graph(settings, graph, verbose: bool = True):
+    """Single-host pipeline stages after an externally-built graph."""
+    import time as _time
+
+    from mcaat_tpu.cycles.finder import cycles_map_to_cycles, find_cycles
+    from mcaat_tpu.pipeline import (
+        PipelineResult,
+        benchmark_results,
+        print_results,
+        spacer_ordering_step,
+    )
+    from mcaat_tpu.reads.mapper import get_reads
+    from mcaat_tpu.report.analyzer import CRISPRAnalyzer
+
+    t0 = _time.time()
+    result = PipelineResult()
+    result.graph = graph
+    cfs = settings.cycle_finder_settings
+    graph, cycles_map = find_cycles(
+        graph,
+        threshold_multiplicity=cfs.threshold_multiplicity,
+        cycle_min_length=cfs.cycle_min_length,
+        cycle_max_length=cfs.cycle_max_length,
+        verbose=verbose,
+    )
+    result.cycles_map = cycles_map
+    result.cycles = cycles_map_to_cycles(cycles_map)
+    f1, f2 = settings.fastq_files()
+    reads = get_reads(graph, f1, f2, result.cycles)
+    result.reads = reads
+    graph, found_systems = spacer_ordering_step(graph, reads, result.cycles, verbose)
+    result.graph = graph
+    result.found_systems = found_systems
+    if settings.benchmark_file:
+        benchmark_results(settings, found_systems)
+    elif verbose:
+        print_results(found_systems)
+    all_systems = {fs.repeat: fs.spacers for fs in found_systems}
+    analyzer = CRISPRAnalyzer(
+        all_systems, settings.output_file or "CRISPR_Arrays.txt"
+    )
+    result.report_text = analyzer.run_analysis()
+    if verbose:
+        print(f"Saved in: {analyzer.output_path} ({_time.time() - t0:.2f}s)")
+    return result
+
+
 def host_local_rows_to_global(mesh, codes: np.ndarray, lengths: np.ndarray):
     """Lift per-host read rows into global arrays sharded P(("dp","kp")).
 

@@ -80,7 +80,14 @@ def _load_input_codes(settings: Settings) -> tuple[np.ndarray, np.ndarray]:
 def _sharded_mode(settings: Settings) -> bool:
     import jax
 
-    return settings.mesh != "off" and len(jax.devices()) > 1
+    # single-process only: the sharded pipeline's host orchestration
+    # (masks, compactions) needs fully-addressable arrays; multi-process
+    # runs go through parallel/multihost.py instead
+    return (
+        settings.mesh != "off"
+        and len(jax.devices()) > 1
+        and jax.process_count() == 1
+    )
 
 
 def build_graph_from_settings(settings: Settings) -> DBG:

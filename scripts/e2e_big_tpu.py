@@ -5,10 +5,13 @@ read mapping). ~100M k-mer windows with RC.
 Usage: python scripts/e2e_big_tpu.py [n_arrays] [background_len]
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "tests")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import numpy as np
 

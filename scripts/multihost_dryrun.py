@@ -65,14 +65,36 @@ def parent() -> int:
     ok = True
     for pid, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
-        if p.returncode != 0 or f"MULTIHOST OK pid={pid}" not in out:
+        if (
+            p.returncode != 0
+            or f"MULTIHOST OK pid={pid}" not in out
+            or f"MULTIHOST PIPELINE OK pid={pid}" not in out
+        ):
             ok = False
             print(f"--- child {pid} (rc={p.returncode}) ---")
             print(out[-4000:])
-    if ok:
-        print("MULTIHOST DRYRUN PASSED")
-        return 0
-    return 1
+    if not ok:
+        return 1
+
+    # the multi-host report must equal the single-process report
+    from mcaat_tpu.utils.env import honor_cpu_env
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    honor_cpu_env()
+    from mcaat_tpu.pipeline import run_pipeline
+    from mcaat_tpu.settings import Settings
+
+    s = Settings()
+    s.input_files = fq
+    s.output_file = os.path.join(tmpdir, "sp_CRISPR_Arrays.txt")
+    s.mesh = "off"
+    ref = run_pipeline(s, verbose=False)
+    mh_text = open(os.path.join(tmpdir, "mh_CRISPR_Arrays.txt")).read()
+    if mh_text != ref.report_text:
+        print("MISMATCH: multi-host report != single-process report")
+        return 1
+    print("MULTIHOST DRYRUN PASSED (pipeline report identical to single-process)")
+    return 0
 
 
 def child() -> int:
@@ -157,6 +179,22 @@ def child() -> int:
         f"MULTIHOST OK pid={pid}: {len(got)} nodes, host shard "
         f"{batch.num_reads} reads, frontier expanded {n_exp}"
     )
+
+    # FULL multi-host pipeline: distributed build over both processes,
+    # replicate, host-local downstream, process 0 writes the report
+    from mcaat_tpu.parallel.multihost import run_pipeline_multihost
+    from mcaat_tpu.settings import Settings
+
+    s = Settings()
+    s.input_files = fq
+    s.output_file = os.path.join(os.path.dirname(fq), "mh_CRISPR_Arrays.txt")
+    result = run_pipeline_multihost(s, verbose=False)
+    if pid == 0:
+        assert result is not None and result.report_text
+        print(f"MULTIHOST PIPELINE OK pid=0: {len(result.found_systems)} systems")
+    else:
+        assert result is None
+        print(f"MULTIHOST PIPELINE OK pid={pid}")
     return 0
 
 
