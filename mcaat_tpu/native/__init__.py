@@ -65,6 +65,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mcaat_sink_copy.argtypes = [c.c_void_p] + [c.POINTER(c.c_int64)] * 4
     lib.mcaat_sink_free.restype = None
     lib.mcaat_sink_free.argtypes = [c.c_void_p]
+    lib.mcaat_poa_consensus.restype = c.c_int
+    lib.mcaat_poa_consensus.argtypes = [
+        c.c_char_p,
+        c.POINTER(c.c_int64),
+        c.c_int64,
+        c.c_int,
+        c.c_int,
+        c.c_int,
+        c.POINTER(c.c_char_p),
+        c.POINTER(c.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -178,3 +189,34 @@ def enumerate_cycles(
             cycles.append(flat[offsets[ci] : offsets[ci + 1]].tolist())
         results[int(g_starts[g])] = cycles
     return results
+
+
+def poa_consensus(sequences, match: int = 3, mismatch: int = -5, gap: int = -3):
+    """Native POA consensus; None when the library is unavailable.
+
+    Result-identical to ``mcaat_tpu.poa.compute_consensus`` (parity test
+    in tests/test_native.py).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    c = ctypes
+    blob = "".join(sequences).encode("ascii")
+    offsets = (c.c_int64 * (len(sequences) + 1))()
+    acc = 0
+    for i, s in enumerate(sequences):
+        offsets[i] = acc
+        acc += len(s)
+    offsets[len(sequences)] = acc
+    out = c.c_char_p()
+    out_len = c.c_int64()
+    rc = lib.mcaat_poa_consensus(
+        blob, offsets, len(sequences), match, mismatch, gap,
+        c.byref(out), c.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return c.string_at(out, out_len.value).decode("ascii")
+    finally:
+        lib.mcaat_free(out)

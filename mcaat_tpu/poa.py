@@ -174,7 +174,27 @@ class PoaGraph:
 
 
 def compute_consensus(sequences: list[str], match=3, mismatch=-5, gap=-3) -> str:
-    """≙ ComputeConsensusForCurrentGroup (src/phage_curator.cpp:385-396)."""
+    """≙ ComputeConsensusForCurrentGroup (src/phage_curator.cpp:385-396).
+
+    Native C++ fast path when built (result-identical port, see
+    native/mcaat_host.cpp); this Python implementation is the fallback
+    and the semantic model for the parity test.
+    """
+    if not sequences:
+        return ""
+    try:
+        from mcaat_tpu.native import poa_consensus
+
+        res = poa_consensus(sequences, match=match, mismatch=mismatch, gap=gap)
+        if res is not None:
+            return res
+    except ImportError:
+        pass
+    return compute_consensus_py(sequences, match=match, mismatch=mismatch, gap=gap)
+
+
+def compute_consensus_py(sequences: list[str], match=3, mismatch=-5, gap=-3) -> str:
+    """Pure-Python progressive POA (the native path's semantic model)."""
     if not sequences:
         return ""
     g = PoaGraph(match=match, mismatch=mismatch, gap=gap)

@@ -321,4 +321,229 @@ void mcaat_sink_copy(void* h, int64_t* starts, int64_t* group_offsets,
 }
 void mcaat_sink_free(void* h) { delete (CycleSink*)h; }
 
+// ---------------------------------------------------------------------------
+// Partial-order-alignment consensus (replaces vendored spoa, SURVEY N2.2-N7;
+// reference spoa::AlignmentEngine::Create(kNW, 3, -5, -3) + AddAlignment +
+// GenerateConsensus at src/phage_curator.cpp:385-396).
+//
+// Result-identical port of the Python fallback (mcaat_tpu/poa.py):
+// progressive POA, NW over the DAG's Kahn order, consensus = max-weight
+// path. Tie-breaking (pred iteration order, strict ">" updates, first-max
+// consensus end) matches the Python line for line so the parity test can
+// assert byte equality.
+// ---------------------------------------------------------------------------
+
+struct PoaGraph {
+  int match, mismatch, gap;
+  std::vector<char> bases;
+  std::map<std::pair<int, int>, int> edges;
+  std::vector<std::vector<int>> in_edges;  // insertion order (Python list)
+
+  static constexpr long long NEG = -(1LL << 60);
+
+  PoaGraph(int ma, int mi, int ga) : match(ma), mismatch(mi), gap(ga) {}
+
+  int add_node(char b) {
+    bases.push_back(b);
+    in_edges.emplace_back();
+    return (int)bases.size() - 1;
+  }
+
+  void add_edge(int u, int v, int w = 1) {
+    auto key = std::make_pair(u, v);
+    auto it = edges.find(key);
+    if (it == edges.end()) {
+      edges[key] = w;
+      in_edges[v].push_back(u);
+    } else {
+      it->second += w;
+    }
+  }
+
+  std::vector<int> topo_order() const {
+    int n = (int)bases.size();
+    std::vector<int> indeg(n, 0);
+    std::vector<std::vector<int>> out_adj(n);
+    for (const auto& kv : edges) {
+      indeg[kv.first.second]++;
+      out_adj[kv.first.first].push_back(kv.first.second);
+    }
+    std::vector<int> stack;
+    for (int i = 0; i < n; ++i)
+      if (indeg[i] == 0) stack.push_back(i);
+    std::sort(stack.rbegin(), stack.rend());  // == sorted(..., reverse=True)
+    std::vector<int> order;
+    while (!stack.empty()) {
+      int u = stack.back();
+      stack.pop_back();
+      order.push_back(u);
+      std::vector<int> outs = out_adj[u];
+      std::sort(outs.rbegin(), outs.rend());
+      for (int v : outs) {
+        if (--indeg[v] == 0) stack.push_back(v);
+      }
+    }
+    return order;
+  }
+
+  // alignment steps: (node, pos), -1 for gap on either side
+  void align(const std::string& seq, std::vector<std::pair<int, int>>& path) {
+    std::vector<int> order = topo_order();
+    int n = (int)order.size(), m = (int)seq.size();
+    std::vector<int> rank(bases.size(), 0);
+    for (int r = 0; r < n; ++r) rank[order[r]] = r;
+
+    std::vector<std::vector<long long>> dp(n + 1,
+                                           std::vector<long long>(m + 1, NEG));
+    struct Bt {
+      int pr, pj, node, pos;
+      bool set;
+    };
+    std::vector<std::vector<Bt>> bt(n + 1,
+                                    std::vector<Bt>(m + 1, {0, 0, -1, -1, false}));
+    dp[0][0] = 0;
+    for (int j = 1; j <= m; ++j) {
+      dp[0][j] = dp[0][j - 1] + gap;
+      bt[0][j] = {0, j - 1, -1, j - 1, true};
+    }
+    std::vector<int> preds;
+    for (int r = 0; r < n; ++r) {
+      int node = order[r];
+      preds.clear();
+      for (int p : in_edges[node]) preds.push_back(rank[p] + 1);
+      if (preds.empty()) preds.push_back(0);
+      for (int j = 0; j <= m; ++j) {
+        long long best = NEG;
+        Bt best_bt = {0, 0, -1, -1, false};
+        for (int pr : preds) {
+          if (j > 0 && dp[pr][j - 1] != NEG) {
+            long long s = dp[pr][j - 1] +
+                          (seq[(size_t)j - 1] == bases[node] ? match : mismatch);
+            if (s > best) {
+              best = s;
+              best_bt = {pr, j - 1, node, j - 1, true};
+            }
+          }
+          if (dp[pr][j] != NEG) {
+            long long s = dp[pr][j] + gap;
+            if (s > best) {
+              best = s;
+              best_bt = {pr, j, node, -1, true};
+            }
+          }
+        }
+        if (j > 0 && dp[r + 1][j - 1] != NEG) {
+          long long s = dp[r + 1][j - 1] + gap;
+          if (s > best) {
+            best = s;
+            best_bt = {r + 1, j - 1, -1, j - 1, true};
+          }
+        }
+        if (best > dp[r + 1][j]) {
+          dp[r + 1][j] = best;
+          bt[r + 1][j] = best_bt;
+        }
+      }
+    }
+
+    std::vector<bool> has_out(bases.size(), false);
+    for (const auto& kv : edges) has_out[kv.first.first] = true;
+    int end_r = 0;
+    long long end_score = dp[0][m];
+    for (int r = 0; r < n; ++r) {
+      if (!has_out[order[r]] && dp[r + 1][m] > end_score) {
+        end_score = dp[r + 1][m];
+        end_r = r + 1;
+      }
+    }
+    path.clear();
+    int r = end_r, j = m;
+    while (!(r == 0 && j == 0)) {
+      const Bt& step = bt[r][j];
+      if (!step.set) break;
+      path.push_back({step.node, step.pos});
+      r = step.pr;
+      j = step.pj;
+    }
+    std::reverse(path.begin(), path.end());
+  }
+
+  void add_sequence(const std::string& seq) {
+    if (seq.empty()) return;
+    if (bases.empty()) {
+      int prev = -1;
+      for (char ch : seq) {
+        int node = add_node(ch);
+        if (prev >= 0) add_edge(prev, node);
+        prev = node;
+      }
+      return;
+    }
+    std::vector<std::pair<int, int>> alignment;
+    align(seq, alignment);
+    int prev = -1;
+    for (const auto& np : alignment) {
+      int node = np.first, pos = np.second;
+      if (pos < 0) continue;  // graph node skipped
+      char ch = seq[(size_t)pos];
+      int cur;
+      if (node >= 0 && bases[(size_t)node] == ch) {
+        cur = node;
+      } else {
+        cur = add_node(ch);
+      }
+      if (prev >= 0) add_edge(prev, cur);
+      prev = cur;
+    }
+  }
+
+  std::string consensus() const {
+    if (bases.empty()) return "";
+    std::vector<int> order = topo_order();
+    std::vector<long long> score(bases.size(), 0);
+    std::vector<int> back(bases.size(), -1);
+    for (int node : order) {
+      for (int p : in_edges[node]) {
+        long long s = score[p] + edges.at({p, node});
+        if (s > score[node]) {
+          score[node] = s;
+          back[node] = p;
+        }
+      }
+    }
+    int end = order[0];
+    long long best = score[order[0]];
+    for (int node : order) {  // first max in order (Python max())
+      if (score[node] > best) {
+        best = score[node];
+        end = node;
+      }
+    }
+    std::string out;
+    for (int cur = end; cur >= 0; cur = back[cur]) out.push_back(bases[cur]);
+    std::reverse(out.begin(), out.end());
+    return out;
+  }
+};
+
+// buf: concatenated sequences; offsets: [n_seqs+1] byte offsets into buf.
+// On success *out is a malloc'd consensus string of *out_len bytes (free
+// with mcaat_free). Returns 0.
+int mcaat_poa_consensus(const char* buf, const int64_t* offsets,
+                        int64_t n_seqs, int match, int mismatch, int gap,
+                        char** out, int64_t* out_len) {
+  PoaGraph g(match, mismatch, gap);
+  for (int64_t i = 0; i < n_seqs; ++i) {
+    std::string s(buf + offsets[i], (size_t)(offsets[i + 1] - offsets[i]));
+    g.add_sequence(s);
+  }
+  std::string cons = n_seqs > 0 ? g.consensus() : std::string();
+  *out_len = (int64_t)cons.size();
+  *out = (char*)malloc(cons.size() + 1);
+  if (!*out) return 1;
+  memcpy(*out, cons.data(), cons.size());
+  (*out)[cons.size()] = 0;
+  return 0;
+}
+
 }  // extern "C"

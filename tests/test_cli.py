@@ -122,3 +122,30 @@ def test_pipeline_resume(tmp_path):
     s2 = Settings(input_files=str(f), output_file=str(tmp_path / "b.txt"))
     r2 = run_pipeline(s2, verbose=False, checkpoint_dir=ck)
     assert r1.report_text == r2.report_text
+
+
+def test_checkpoint_partial_resume_after_crash(tmp_path):
+    """Failure-recovery: a run that dies after the cycle stage (simulated
+    by deleting the later-stage artifacts) resumes from graph+cycles and
+    reproduces the identical report (SURVEY §5 failure-recovery row)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic import make_metagenome, write_fastq
+
+    from mcaat_tpu.pipeline import run_pipeline
+    from mcaat_tpu.settings import Settings
+
+    meta = make_metagenome(seed=6, n_arrays=1, n_spacers=4, coverage=35.0)
+    f = tmp_path / "r.fq"
+    write_fastq(str(f), meta["reads"])
+    ck = str(tmp_path / "ck")
+    s = Settings(input_files=str(f), output_file=str(tmp_path / "a.txt"))
+    r1 = run_pipeline(s, verbose=False, checkpoint_dir=ck)
+    # simulate a crash between STEP 6 and the end: read artifacts gone
+    os.remove(os.path.join(ck, "reads.json"))
+    s2 = Settings(input_files=str(f), output_file=str(tmp_path / "b.txt"))
+    r2 = run_pipeline(s2, verbose=False, checkpoint_dir=ck)
+    assert r1.report_text == r2.report_text
+    assert len(r1.reads) == len(r2.reads)

@@ -89,3 +89,37 @@ def test_enumerate_mult_ratio():
         np.asarray(g.mult), np.array([0], dtype=np.int64), 1, 10,
     )
     assert native.get(0, []) == []
+
+
+def test_native_poa_consensus_parity():
+    """Native POA == Python POA, byte-identical (tie-breaking ported
+    line for line; native/mcaat_host.cpp mcaat_poa_consensus)."""
+    import numpy as np
+    import pytest
+
+    from mcaat_tpu.native import native_available, poa_consensus
+    from mcaat_tpu.poa import compute_consensus_py
+
+    if not native_available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        base = "".join("ACGT"[i] for i in rng.integers(0, 4, size=60))
+        group = []
+        for _ in range(int(rng.integers(2, 6))):
+            s = list(base)
+            for _m in range(int(rng.integers(0, 6))):
+                p = int(rng.integers(0, len(s)))
+                op = int(rng.integers(0, 3))
+                if op == 0:
+                    s[p] = "ACGT"[int(rng.integers(0, 4))]
+                elif op == 1 and len(s) > 30:
+                    del s[p]
+                else:
+                    s.insert(p, "ACGT"[int(rng.integers(0, 4))])
+            group.append("".join(s))
+        want = compute_consensus_py(group)
+        got = poa_consensus(group)
+        assert got == want, (trial, group)
+    assert poa_consensus([]) == ""
+    assert poa_consensus(["ACGT"]) == compute_consensus_py(["ACGT"])
