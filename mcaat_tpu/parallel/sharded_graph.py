@@ -344,7 +344,12 @@ def sharded_prune_and_candidates(
     pointers (the branch set is tiny — same split as
     ``prune.clip_tips``). Returns (valid [kp, T], candidates [kp, T]).
     """
-    from mcaat_tpu.prune.prune import _BRANCH, _DEAD, _UNARY
+    from mcaat_tpu.cycles.start_nodes import _candidate_mask
+    from mcaat_tpu.prune.prune import (
+        _BRANCH,
+        _condensed_slots,
+        _final_valid,
+    )
 
     kp = mesh.shape["kp"]
     T = mult.shape[1]
@@ -353,27 +358,28 @@ def sharded_prune_and_candidates(
     n_passes = max(int(np.ceil(np.log2(max(N, 2)))) + 1, 1)
     ntype, ptr = _sharded_chain_collapse(mesh, out, valid0, n_passes)
 
-    ntype_h = np.asarray(ntype).reshape(-1)
-    ptr_h = np.asarray(ptr).reshape(-1)
-    out_h = np.asarray(out).reshape(N, 4)
-    valid0_h = np.asarray(valid0).reshape(-1)
+    # all O(N) work stays on device: the flat [kp,T]/[kp,4T] layout equals
+    # the single-device global-id layout (slot 4g+b), so the single-device
+    # jitted helpers apply directly. Host sees only the (tiny) branch-row
+    # condensed classes for the aliveness fixpoint — same split as
+    # prune.clip_tips.
+    ntype_f = ntype.reshape(-1)
+    ptr_f = ptr.reshape(-1)
+    out_f = out.reshape(-1)
+    in_f = in_.reshape(-1)
+    valid0_f = valid0.reshape(-1)
+    cond = _condensed_slots(out_f, valid0_f, ntype_f, ptr_f)  # [4N] device
 
-    # condensed slot classes: -1 dead, -2 unary-cycle, else branch id
-    ok = (out_h >= 0) & valid0_h[np.maximum(out_h, 0)]
-    tu = ptr_h[np.maximum(out_h, 0)]
-    tclass = ntype_h[tu]
-    cond = np.where(
-        ~ok | (tclass == _DEAD), -1, np.where(tclass == _UNARY, -2, tu)
-    ).astype(np.int64)
-
-    branch = np.nonzero(ntype_h == _BRANCH)[0]
+    branch = np.nonzero(np.asarray(ntype_f == _BRANCH))[0].astype(np.int64)
     alive = np.zeros(N, dtype=bool)
     if len(branch) > 0:
+        sel = jnp.asarray(branch)
+        slots = (sel * 4)[:, None] + jnp.arange(4, dtype=sel.dtype)
+        cond_h = np.asarray(cond[slots])  # [B,4] — only branch rows cross
         of_node = np.full(N, -1, dtype=np.int64)
         of_node[branch] = np.arange(len(branch))
-        rows = cond[branch]
-        tgt = np.where(rows >= 0, of_node[np.maximum(rows, 0)], -1)
-        has_cycle_edge = (rows == -2).any(axis=1)
+        tgt = np.where(cond_h >= 0, of_node[np.maximum(cond_h, 0)], -1)
+        has_cycle_edge = (cond_h == -2).any(axis=1)
         a = np.ones(len(branch), dtype=bool)
         while True:
             t_alive = (tgt >= 0) & a[np.maximum(tgt, 0)]
@@ -383,28 +389,11 @@ def sharded_prune_and_candidates(
             a = new_a
         alive[branch] = a
 
-    term = ntype_h[ptr_h]
-    unary_alive = np.where(
-        term == _UNARY, True, np.where(term == _DEAD, False, alive[ptr_h])
+    v = _final_valid(valid0_f, ntype_f, ptr_f, jnp.asarray(alive))
+    cand = _candidate_mask(
+        out_f, in_f, v, mult.reshape(-1), threshold_multiplicity
     )
-    v = np.where(
-        ntype_h == _UNARY,
-        valid0_h & unary_alive,
-        np.where(ntype_h == _BRANCH, valid0_h & alive, False),
-    )
-
-    # candidate scan (≙ ChunkStartNodes static predicate)
-    in_h = np.asarray(in_).reshape(N, 4)
-    in_ok = (in_h >= 0) & v[np.maximum(in_h, 0)]
-    indeg = in_ok.sum(axis=1)
-    gids = np.arange(N, dtype=np.int64)
-    mult_h = np.asarray(mult).reshape(-1)
-    self_loop = (out_h == gids[:, None]).any(axis=1)
-    cand = v & (indeg >= 2) & (mult_h > threshold_multiplicity) & ~self_loop
-    return (
-        jnp.asarray(v.reshape(kp, T)),
-        jnp.asarray(cand.reshape(kp, T)),
-    )
+    return v.reshape(kp, T), cand.reshape(kp, T)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
