@@ -357,23 +357,42 @@ def condense_region(
     # invalid — inside the compact graph that is every remaining row
     m = len(gids)
 
-    def remap_ids(ids: np.ndarray, surrogate_of: dict[int, int]) -> list[int]:
-        res = []
-        for x in ids:
-            x = int(x)
-            if x < 0:
-                res.append(-1)
-                continue
-            pos = np.searchsorted(gids, x)
-            if pos < m and gids[pos] == x:
-                res.append(int(pos))
-            else:
-                res.append(surrogate_of.setdefault(x, -2 - len(surrogate_of)))
-        return res
-
-    surrogate_of: dict[int, int] = {}
-    cycles_c = [remap_ids(np.asarray(c), surrogate_of) for c in cycles]
-    reads_c = [remap_ids(np.asarray(r), surrogate_of) for r in reads]
+    # vectorized remap over ALL chains at once: one searchsorted for the
+    # region hits; misses get unique negative surrogates assigned in
+    # first-appearance order (deterministic)
+    lens_c = [len(c) for c in cycles]
+    lens_r = [len(r) for r in reads]
+    flat = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in cycles]
+        + [np.asarray(r, dtype=np.int64) for r in reads]
+        + [np.zeros(0, dtype=np.int64)]
+    )
+    pos = np.searchsorted(gids, np.maximum(flat, 0)) if m else np.zeros(
+        len(flat), dtype=np.int64
+    )
+    pos_c = np.minimum(pos, max(m - 1, 0))
+    if m:
+        hit = (flat >= 0) & (gids[pos_c] == flat)
+    else:
+        hit = np.zeros(len(flat), dtype=bool)
+    out = np.where(hit, pos_c, -1).astype(np.int64)
+    miss = (~hit) & (flat >= 0)
+    if miss.any():
+        # surrogate rank by first appearance order (flat is already in
+        # deterministic chain order)
+        miss_vals = flat[miss]
+        seen: dict[int, int] = {}
+        sur = np.empty(len(miss_vals), dtype=np.int64)
+        for i, x in enumerate(miss_vals.tolist()):
+            sur[i] = -2 - seen.setdefault(x, len(seen))
+        out[miss] = sur
+    res = []
+    off = 0
+    for n in lens_c + lens_r:
+        res.append(out[off : off + n].tolist())
+        off += n
+    cycles_c = res[: len(cycles)]
+    reads_c = res[len(cycles) :]
     return region, cycles_c, reads_c
 
 
