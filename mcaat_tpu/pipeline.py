@@ -110,69 +110,19 @@ def build_graph_from_settings(settings: Settings) -> DBG:
 
 
 def _build_graph_sharded(codes, lengths, settings: Settings):
-    """Distributed graph build over all visible devices (("dp","kp") mesh).
-
-    Routes k-mers to owner shards (all_to_all over kp), counts and builds
-    adjacency per shard, then compacts to a single-device DBG for the
-    host-side combinatorial stages. Capacities are sized from the window
-    count and doubled on overflow; returns None to fall back to the
-    single-device build if overflow persists.
-    """
-    import jax
-
-    from mcaat_tpu.graph.dbg import _bucket_size, _reverse_complement_batch
-    from mcaat_tpu.parallel.sharded import make_pipeline_mesh
-    from mcaat_tpu.parallel.sharded_graph import (
-        build_sharded_dbg,
-        sharded_dbg_to_dbg,
+    """Distributed graph build, compacted to a single-device DBG (used by
+    checkpointed runs; the non-checkpointed multi-device path keeps the
+    graph sharded — see parallel/sharded_pipeline.py). Returns None to
+    fall back to the single-device build on capacity overflow."""
+    from mcaat_tpu.parallel.sharded_pipeline import (
+        build_sharded_graph_for_pipeline,
     )
+    from mcaat_tpu.parallel.sharded_graph import sharded_dbg_to_dbg
 
-    import jax.numpy as jnp
-
-    k = 23
-    codes_j = jnp.asarray(codes)
-    lengths_j = jnp.asarray(lengths)
-    if settings.add_reverse_complement:
-        rc_codes, rc_lengths = _reverse_complement_batch(codes_j, lengths_j)
-        codes_j = jnp.concatenate([codes_j, rc_codes], axis=0)
-        lengths_j = jnp.concatenate([lengths_j, rc_lengths], axis=0)
-    codes_np = np.asarray(codes_j)
-    lengths_np = np.asarray(lengths_j)
-
-    mesh = make_pipeline_mesh()
-    dp, kp = mesh.shape["dp"], mesh.shape["kp"]
-    R, L = codes_np.shape
-    rows_mult = dp * kp
-    R_pad = (R + rows_mult - 1) // rows_mult * rows_mult
-    if R_pad > R:
-        codes_np = np.concatenate(
-            [codes_np, np.zeros((R_pad - R, L), np.uint8)], axis=0
-        )
-        lengths_np = np.concatenate(
-            [lengths_np, np.zeros(R_pad - R, np.int32)], axis=0
-        )
-
-    windows = R_pad * max(L - k + 1, 0)
-    local_windows = windows // (dp * kp)
-    # worst case every local window routes to one owner shard
-    route_cap = _bucket_size(local_windows)
-    # per-shard unique capacity: uniques ≤ windows; random prefixes spread
-    # ~evenly over kp shards — 2x headroom, doubled on overflow
-    shard_cap = _bucket_size(max(windows // kp, 1) * 2)
-    for _attempt in range(3):
-        graph_s, dropped = build_sharded_dbg(
-            mesh,
-            codes_np,
-            lengths_np,
-            k=k,
-            route_cap=route_cap,
-            shard_cap=min(shard_cap, _bucket_size(windows)),
-        )
-        if dropped == 0:
-            return sharded_dbg_to_dbg(graph_s)
-        shard_cap *= 2
-        route_cap *= 2
-    return None
+    sg = build_sharded_graph_for_pipeline(codes, lengths, settings)
+    if sg is None:
+        return None
+    return sharded_dbg_to_dbg(sg)
 
 
 def spacer_ordering_step(
