@@ -542,7 +542,14 @@ def build_dbg_from_reads(
         codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
         lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
 
-    n_windows = int(codes_j.shape[0]) * max(int(codes_j.shape[1]) - k, 0)
+    # window cap from the TRUE max read length: the bucketed column pad
+    # (L=100 -> 128) would otherwise inflate every window-multiset sort
+    # by the pad ratio (~35% dead SENTINEL windows)
+    max_true = int(lengths_np.max()) if lengths_np.size else 0
+    w24 = max((max_true - k + 7) // 8 * 8, 8)
+    n_windows = int(codes_j.shape[0]) * min(
+        max(int(codes_j.shape[1]) - k, 0), w24
+    )
     if engine is None:
         engine = BUILD_ENGINE
     if chunk_windows and n_windows > chunk_windows:
@@ -550,8 +557,9 @@ def build_dbg_from_reads(
         # exceed HBM past ~60M windows on a 16GB chip)
         from mcaat_tpu.kmer.count import count_edges_chunked
 
-        chunk_rows = max(chunk_windows // max(int(codes_j.shape[1]) - k, 1), 1)
-        u24, c24, n24 = count_edges_chunked(codes_j, lengths_j, k, chunk_rows)
+        chunk_rows = max(chunk_windows // max(min(int(codes_j.shape[1]) - k, w24), 1), 1)
+        u24, c24, n24 = count_edges_chunked(codes_j, lengths_j, k, chunk_rows,
+                                            w_cap=w24)
     elif engine == "inst":
         from mcaat_tpu.kmer.count import count_unique_with_ids
 
@@ -576,7 +584,7 @@ def build_dbg_from_reads(
     else:
         from mcaat_tpu.kmer.count import count_unique
 
-        km1 = extract_kmers(codes_j, lengths_j, k + 1).reshape(-1)
+        km1 = extract_kmers(codes_j, lengths_j, k + 1, w_cap=w24).reshape(-1)
         u24, c24, n24 = count_unique(km1)
     # node table + per-edge source ids DERIVED from the (bucket-sliced)
     # unique edge table — two window-count-sized sorts cheaper than

@@ -23,16 +23,23 @@ import numpy as np
 SENTINEL = jnp.iinfo(jnp.int64).max
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def extract_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k", "w_cap"))
+def extract_kmers(
+    codes: jax.Array, lengths: jax.Array, k: int, w_cap: int | None = None
+) -> jax.Array:
     """All k-mer windows of each read, packed big-endian into int64.
 
-    Returns ``[R, Lmax - k + 1]`` int64; windows that fall past a read's
-    length are set to SENTINEL.
+    Returns ``[R, W]`` int64 with ``W = Lmax - k + 1`` (or ``w_cap`` when
+    given); windows past a read's length are SENTINEL. ``w_cap`` matters
+    when the column count is padded for shape bucketing: the dead pad
+    columns would otherwise inflate every downstream sort (~35% at
+    L=100 padded to 128) — pass the true max window count instead.
     """
     codes = codes.astype(jnp.int64)
     R, L = codes.shape
     W = L - k + 1
+    if w_cap is not None:
+        W = min(W, w_cap)
 
     def body(t, acc):
         return (acc << 2) | jax.lax.dynamic_slice(codes, (0, t), (R, W))
@@ -359,7 +366,8 @@ def count_unique_chunked(
     return u[:n], c[:n], n
 
 
-def count_edges_chunked(codes, lengths, k: int, chunk_rows: int):
+def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
+                        w_cap: int | None = None):
     """Memory-bounded (k+1)-mer counting: per-chunk count + tree merge.
 
     Only the edge ((k+1)-mer) table is counted — the node table is derived
@@ -376,7 +384,7 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int):
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
         l = jnp.asarray(lengths[lo : lo + chunk_rows])
-        km1 = extract_kmers(c, l, k + 1).reshape(-1)
+        km1 = extract_kmers(c, l, k + 1, w_cap=w_cap).reshape(-1)
         u, cnt, nu = count_unique(km1)
         nu_i = int(nu)
         # bucketed slices keep merge shapes stable across chunks (see
