@@ -101,11 +101,19 @@ def build_graph_from_settings(settings: Settings) -> DBG:
         graph = _build_graph_sharded(codes, lengths, settings)
         if graph is not None:
             return graph
+    # --ram bounds the counting working set (≙ the reference feeding
+    # --ram to megahit's host_mem, src/sdbg_build.cpp:202): the default
+    # 24M-window chunk is sized for a 16 GB-HBM chip; scale down
+    # proportionally when the user asks for less
+    chunk_windows = 24_000_000
+    if settings.ram and settings.ram < 16.0:
+        chunk_windows = max(int(chunk_windows * settings.ram / 16.0), 2_000_000)
     return build_dbg_from_reads(
         codes,
         lengths,
         k=23,
         add_reverse_complement=settings.add_reverse_complement,
+        chunk_windows=chunk_windows,
     )
 
 
