@@ -312,10 +312,19 @@ def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
             flat = jnp.concatenate(
                 [flat, jnp.full((Q_pad - Q,), SENTINEL, dtype=flat.dtype)]
             )
-        route_cap = _bucket_size(max(Q_pad // n_dev, 1))
-        idx, _dropped = sharded_lookup(
-            sg.mesh, sg.kmers.reshape(-1), flat, k, route_cap=route_cap
-        )
+        # 2x headroom over the perfectly-even per-owner share; skewed
+        # k-mer distributions (low-complexity reads) can route everything
+        # to one shard, so a dropped count retries with doubled capacity
+        # rather than silently losing lookups
+        route_cap = _bucket_size(max(2 * Q_pad // n_dev, 1))
+        per_shard = Q_pad // sg.mesh.shape["dp"]
+        while True:
+            idx, dropped = sharded_lookup(
+                sg.mesh, sg.kmers.reshape(-1), flat, k, route_cap=route_cap
+            )
+            if int(dropped) == 0 or route_cap >= per_shard:
+                break
+            route_cap = min(_bucket_size(route_cap * 2), _bucket_size(per_shard))
         idx = np.asarray(idx)[:Q].reshape(R_pad, W)
         owner = np.asarray((flat[:Q] >> shift)).astype(np.int64).reshape(R_pad, W)
         ids = np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)[:R]
