@@ -48,17 +48,26 @@ def encode_batch(strings: list[str], maxlen: int = MAXLEN):
 
 @jax.jit
 def _match_masks(codes: jax.Array, lengths: jax.Array):
-    """Per-lane match masks: [B, 4, 2] uint32 (lo word, hi word)."""
+    """Per-lane match masks: [B, 4, 2] uint32 (lo word, hi word).
+
+    Pure integer where+sum per base (bits are disjoint, so sum == OR);
+    the earlier f32 one-hot einsum materialized a [B, L, 4] intermediate
+    and dominated the Pallas DP kernel's wall time.
+    """
     B, L = codes.shape
     pos = jnp.arange(L)
     live = pos[None, :] < lengths[:, None]
     lo_bit = jnp.where((pos < 32)[None, :] & live, jnp.uint32(1) << (pos % 32).astype(jnp.uint32), 0)
     hi_bit = jnp.where((pos >= 32)[None, :] & live, jnp.uint32(1) << (pos % 32).astype(jnp.uint32), 0)
-    masks = jnp.zeros((B, 4, 2), dtype=jnp.uint32)
-    onehot = jax.nn.one_hot(codes, 4, dtype=jnp.uint32)  # [B, L, 4]
-    lo = jnp.einsum("blc,bl->bc", onehot, lo_bit.astype(jnp.uint32))
-    hi = jnp.einsum("blc,bl->bc", onehot, hi_bit.astype(jnp.uint32))
-    return masks.at[:, :, 0].set(lo.astype(jnp.uint32)).at[:, :, 1].set(hi.astype(jnp.uint32))
+    los = []
+    his = []
+    for c in range(4):
+        m = codes == c
+        los.append(jnp.sum(jnp.where(m, lo_bit, jnp.uint32(0)), axis=1))
+        his.append(jnp.sum(jnp.where(m, hi_bit, jnp.uint32(0)), axis=1))
+    return jnp.stack(
+        [jnp.stack(los, axis=1), jnp.stack(his, axis=1)], axis=2
+    ).astype(jnp.uint32)
 
 
 def _add64(alo, ahi, blo, bhi):
