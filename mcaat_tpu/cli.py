@@ -79,6 +79,7 @@ def parse_arguments(argv: list[str]) -> Settings:
             if i >= len(argv):
                 raise RuntimeError("Error: Missing value for --ram")
             settings.ram = parse_ram_to_gb(argv[i])
+            settings.ram_explicit = True
             total = get_total_system_ram_gb()
             if settings.ram < 1.0:
                 raise RuntimeError(

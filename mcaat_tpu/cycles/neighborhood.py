@@ -147,6 +147,18 @@ def touched_mask(
     return None
 
 
+def remap_to_local(gids: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Global ids -> compact local ids (rank in the sorted ``gids``);
+    entries outside ``gids`` (and negatives) become -1. Shared by the
+    single-device and sharded subgraph compactions."""
+    if len(gids) == 0:
+        return np.full(a.shape, -1, dtype=np.int32)
+    pos = np.searchsorted(gids, np.maximum(a, 0))
+    pos_c = np.minimum(pos, len(gids) - 1)
+    hit = (a >= 0) & (gids[pos_c] == np.maximum(a, 0))
+    return np.where(hit, pos_c, -1).astype(np.int32)
+
+
 def extract_subgraph(graph: DBG, mask: np.ndarray):
     """Compact the masked rows into host arrays with remapped local ids.
 
@@ -159,20 +171,17 @@ def extract_subgraph(graph: DBG, mask: np.ndarray):
     gids = np.nonzero(mask)[0].astype(np.int64)
     sel = jnp.asarray(gids)
     # device-side gather of only the touched rows, then one host transfer
-    sub_out = np.asarray(
-        _gather_rows(graph.out, sel)
-    )
+    sub_out = np.asarray(_gather_rows(graph.out, sel))
     sub_in = np.asarray(_gather_rows(graph.in_, sel))
     sub_valid = np.asarray(graph.valid[sel])
     sub_mult = np.asarray(graph.mult[sel])
-    # remap global -> local (host searchsorted over the sorted gids)
-    def remap(a):
-        pos = np.searchsorted(gids, np.maximum(a, 0))
-        pos_c = np.minimum(pos, len(gids) - 1)
-        hit = (a >= 0) & (gids[pos_c] == np.maximum(a, 0))
-        return np.where(hit, pos_c, -1).astype(np.int32)
-
-    return remap(sub_out), remap(sub_in), sub_valid, sub_mult, gids
+    return (
+        remap_to_local(gids, sub_out),
+        remap_to_local(gids, sub_in),
+        sub_valid,
+        sub_mult,
+        gids,
+    )
 
 
 @jax.jit

@@ -149,6 +149,8 @@ def extract_sharded_subgraph(
     so compact-id order == global-id order == k-mer rank order — all
     downstream deterministic orderings are preserved.
     """
+    from mcaat_tpu.cycles.neighborhood import _gather_rows, remap_to_local
+
     gids = np.nonzero(mask)[0].astype(np.int64)
     if len(gids) == 0:
         empty = DBG(
@@ -164,30 +166,17 @@ def extract_sharded_subgraph(
     kmers = np.asarray(sg.kmers.reshape(-1)[sel])
     mult = np.asarray(sg.mult.reshape(-1)[sel])
     valid_sel = np.asarray(valid.reshape(-1)[sel])
-    out_rows = np.asarray(_gather_rows4(sg.out.reshape(-1), sel))
-    in_rows = np.asarray(_gather_rows4(sg.in_.reshape(-1), sel))
-
-    def remap(a):
-        pos = np.searchsorted(gids, np.maximum(a, 0))
-        pos_c = np.minimum(pos, max(len(gids) - 1, 0))
-        hit = (a >= 0) & (gids[pos_c] == np.maximum(a, 0))
-        return np.where(hit, pos_c, -1).astype(np.int32)
-
+    out_rows = np.asarray(_gather_rows(sg.out.reshape(-1), sel))
+    in_rows = np.asarray(_gather_rows(sg.in_.reshape(-1), sel))
     graph = DBG(
         k=sg.k,
         kmers=jnp.asarray(kmers),
         mult=jnp.asarray(mult.astype(np.int32)),
-        out=jnp.asarray(remap(out_rows).reshape(-1)),
-        in_=jnp.asarray(remap(in_rows).reshape(-1)),
+        out=jnp.asarray(remap_to_local(gids, out_rows).reshape(-1)),
+        in_=jnp.asarray(remap_to_local(gids, in_rows).reshape(-1)),
         valid=jnp.asarray(valid_sel),
     )
     return graph, gids
-
-
-@jax.jit
-def _gather_rows4(flat: jax.Array, ids: jax.Array) -> jax.Array:
-    slots = (ids * 4)[:, None] + jnp.arange(4, dtype=ids.dtype)
-    return flat[slots]
 
 
 # ---------------------------------------------------------------------------
@@ -387,14 +376,15 @@ def condense_region(
     out = np.where(hit, pos_c, -1).astype(np.int64)
     miss = (~hit) & (flat >= 0)
     if miss.any():
-        # surrogate rank by first appearance order (flat is already in
-        # deterministic chain order)
+        # surrogate rank by first-appearance order, vectorized: unique's
+        # return_index gives each value's first position; argsort-of-
+        # argsort turns those into dense appearance ranks
         miss_vals = flat[miss]
-        seen: dict[int, int] = {}
-        sur = np.empty(len(miss_vals), dtype=np.int64)
-        for i, x in enumerate(miss_vals.tolist()):
-            sur[i] = -2 - seen.setdefault(x, len(seen))
-        out[miss] = sur
+        _vals, first_idx, inv = np.unique(
+            miss_vals, return_index=True, return_inverse=True
+        )
+        rank = np.argsort(np.argsort(first_idx, kind="stable"), kind="stable")
+        out[miss] = -2 - rank[inv]
     res = []
     off = 0
     for n in lens_c + lens_r:

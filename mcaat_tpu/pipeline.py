@@ -106,7 +106,7 @@ def build_graph_from_settings(settings: Settings) -> DBG:
     # 24M-window chunk is sized for a 16 GB-HBM chip; scale down
     # proportionally when the user asks for less
     chunk_windows = 24_000_000
-    if settings.ram and settings.ram < 16.0:
+    if settings.ram_explicit and settings.ram and settings.ram < 16.0:
         chunk_windows = max(int(chunk_windows * settings.ram / 16.0), 2_000_000)
     return build_dbg_from_reads(
         codes,

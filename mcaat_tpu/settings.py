@@ -36,6 +36,7 @@ class DNASequenceSettings:
 class Settings:
     input_files: str = ""  # space-joined list, like the reference
     ram: float = 0.0  # GB
+    ram_explicit: bool = False  # True when --ram / settings-file ram was given
     threads: int = 0
     output_folder: str = ""
     graph_folder: str = ""
@@ -135,6 +136,7 @@ class Settings:
             tokens = val.replace(",", " ").replace(";", " ").split()
             self.input_files = " ".join(tokens)
         elif key == "ram":
+            self.ram_explicit = True
             try:
                 self.ram = parse_ram_to_gb(val)
             except ValueError:

@@ -72,6 +72,23 @@ def main():
                 hits += 1
     print(f"planted spacer recovery: {hits}/{total}", flush=True)
 
+    import json
+
+    with open("/tmp/e2e_big_result.json", "w") as fh:
+        json.dump(
+            {
+                "n_reads": n_reads,
+                "n_arrays": n_arrays,
+                "est_windows": est_windows,
+                "warm_seconds": round(dt, 1),
+                "warm_reads_per_s": round(n_reads / dt, 1),
+                "spacer_recovery": f"{hits}/{total}",
+                "n_systems": len(result.found_systems),
+            },
+            fh,
+        )
+    print("wrote /tmp/e2e_big_result.json", flush=True)
+
 
 if __name__ == "__main__":
     main()

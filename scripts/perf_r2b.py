@@ -41,7 +41,6 @@ def main():
         extract_kmers,
         extract_last_kmer,
     )
-    from mcaat_tpu.kmer.pallas_kernels import extract_kmers_pallas
 
     K = 23
     rng = np.random.default_rng(0)

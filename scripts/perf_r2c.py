@@ -92,7 +92,7 @@ def main():
     )
 
     print("== pallas DP A/B ==", flush=True)
-    from mcaat_tpu.report.batched_fuzz import encode_batch, ratio_batch
+    from mcaat_tpu.report.batched_fuzz import _ratio_batch_scan, encode_batch
     from mcaat_tpu.report.pallas_dp import ratio_batch_pallas
 
     rng2 = np.random.default_rng(1)
@@ -109,7 +109,7 @@ def main():
     pairs = n_sp * n_sp
     try:
         (rp, t_p) = timed("ratio_batch_pallas 262k pairs", lambda: ratio_batch_pallas(a_c, a_l, b_c, b_l))
-        (rs, t_s) = timed("ratio_batch (lax.scan) 262k pairs", lambda: ratio_batch(a_c, a_l, b_c, b_l))
+        (rs, t_s) = timed("ratio_batch (lax.scan) 262k pairs", lambda: _ratio_batch_scan(a_c, a_l, b_c, b_l))
         same = bool(jnp.max(jnp.abs(rp - rs)) < 1e-3)
         print(
             f"  parity: {same}; pallas {pairs/t_p/1e6:.1f}M pairs/s vs "
