@@ -188,3 +188,93 @@ def extract_subgraph(graph: DBG, mask: np.ndarray):
 def _gather_rows(adj_flat: jax.Array, ids: jax.Array) -> jax.Array:
     slots = (ids * 4)[:, None] + jnp.arange(4, dtype=jnp.int32)
     return adj_flat[slots]
+
+
+def undirected_region_mask(
+    graph: DBG, seeds: np.ndarray, hops: int
+) -> np.ndarray:
+    """Undirected ``hops``-hop expansion of ``seeds`` (bool [N]): invalid
+    neighbors join the reached set but only valid nodes expand — the
+    exact semantics of keep_crispr_regions_extended_by_k's growth
+    (reference src/spacer_ordering.cpp:96-129), computed with per-level
+    frontier gathers (cost ∝ region size) instead of whole-array passes.
+    The full-array formulation (ordering._grow_region) runs hops × O(4N)
+    in ONE device program — at 16M+ nodes that program crashed the
+    remote TPU worker (execution watchdog); this loop keeps each device
+    step small and bounded.
+    """
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    n = graph.size
+    valid_h = np.asarray(graph.valid)
+    reached = np.zeros(n, dtype=bool)
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if len(seeds) == 0:
+        return reached
+    reached[seeds] = True
+    frontier = seeds[valid_h[seeds]]
+    for _ in range(hops):
+        if len(frontier) == 0:
+            break
+        F = _bucket_size(len(frontier))
+        fr = np.full(F, int(frontier[0]), dtype=np.int64)  # pad with a real id
+        fr[: len(frontier)] = frontier
+        fr_j = jnp.asarray(fr)
+        o = np.asarray(_gather_rows(graph.out, fr_j)).ravel()
+        i = np.asarray(_gather_rows(graph.in_, fr_j)).ravel()
+        nbrs = np.concatenate([o, i])
+        nbrs = nbrs[nbrs >= 0]
+        new = np.unique(nbrs)
+        new = new[~reached[new]]
+        reached[new] = True
+        frontier = new[valid_h[new]]
+    return reached
+
+
+def extract_region_graph(graph: DBG, mask: np.ndarray):
+    """Compact the masked rows into a full DBG (kmers kept for labels) +
+    the ascending global-id map."""
+    gids = np.nonzero(mask)[0].astype(np.int64)
+    sel = jnp.asarray(gids)
+    out_rows = np.asarray(_gather_rows(graph.out, sel))
+    in_rows = np.asarray(_gather_rows(graph.in_, sel))
+    compact = DBG(
+        k=graph.k,
+        kmers=graph.kmers[sel],
+        mult=graph.mult[sel],
+        out=jnp.asarray(remap_to_local(gids, out_rows).reshape(-1)),
+        in_=jnp.asarray(remap_to_local(gids, in_rows).reshape(-1)),
+        valid=graph.valid[sel],
+    )
+    return compact, gids
+
+
+def remap_chains(
+    gids: np.ndarray, cycles: list[list[int]], reads: list[list[int]]
+):
+    """Remap cycle/read node chains into compact local ids; out-of-region
+    entries get unique negative surrogates (-2 - first-appearance rank),
+    distinct from the -1 miss sentinel, preserving equality structure.
+    """
+    lens_c = [len(c) for c in cycles]
+    lens_r = [len(r) for r in reads]
+    flat = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in cycles]
+        + [np.asarray(r, dtype=np.int64) for r in reads]
+        + [np.zeros(0, dtype=np.int64)]
+    )
+    out = remap_to_local(gids, flat).astype(np.int64)
+    miss = (out < 0) & (flat >= 0)
+    if miss.any():
+        miss_vals = flat[miss]
+        _vals, first_idx, inv = np.unique(
+            miss_vals, return_index=True, return_inverse=True
+        )
+        rank = np.argsort(np.argsort(first_idx, kind="stable"), kind="stable")
+        out[miss] = -2 - rank[inv]
+    res = []
+    off = 0
+    for ln in lens_c + lens_r:
+        res.append(out[off : off + ln].tolist())
+        off += ln
+    return res[: len(cycles)], res[len(cycles) :]

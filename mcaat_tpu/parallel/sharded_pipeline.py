@@ -342,10 +342,13 @@ def condense_region(
 ):
     """Compact the read_len-hop cycle region and remap cycles + reads.
 
-    Returns (region DBG with only region nodes valid, cycles_compact,
+    Returns (region DBG with only region nodes, cycles_compact,
     reads_compact). Out-of-region read ids map to unique negative
-    surrogates (see module docstring).
+    surrogates (see module docstring; shared remap in
+    cycles/neighborhood.remap_chains).
     """
+    from mcaat_tpu.cycles.neighborhood import remap_chains
+
     seeds = np.asarray(
         sorted({int(n) for cyc in cycles for n in cyc}), dtype=np.int64
     )
@@ -353,45 +356,7 @@ def condense_region(
     region, gids = extract_sharded_subgraph(sg, valid, reached)
     # ≙ with_valid(valid & reached): everything outside the region is
     # invalid — inside the compact graph that is every remaining row
-    m = len(gids)
-
-    # vectorized remap over ALL chains at once: one searchsorted for the
-    # region hits; misses get unique negative surrogates assigned in
-    # first-appearance order (deterministic)
-    lens_c = [len(c) for c in cycles]
-    lens_r = [len(r) for r in reads]
-    flat = np.concatenate(
-        [np.asarray(c, dtype=np.int64) for c in cycles]
-        + [np.asarray(r, dtype=np.int64) for r in reads]
-        + [np.zeros(0, dtype=np.int64)]
-    )
-    pos = np.searchsorted(gids, np.maximum(flat, 0)) if m else np.zeros(
-        len(flat), dtype=np.int64
-    )
-    pos_c = np.minimum(pos, max(m - 1, 0))
-    if m:
-        hit = (flat >= 0) & (gids[pos_c] == flat)
-    else:
-        hit = np.zeros(len(flat), dtype=bool)
-    out = np.where(hit, pos_c, -1).astype(np.int64)
-    miss = (~hit) & (flat >= 0)
-    if miss.any():
-        # surrogate rank by first-appearance order, vectorized: unique's
-        # return_index gives each value's first position; argsort-of-
-        # argsort turns those into dense appearance ranks
-        miss_vals = flat[miss]
-        _vals, first_idx, inv = np.unique(
-            miss_vals, return_index=True, return_inverse=True
-        )
-        rank = np.argsort(np.argsort(first_idx, kind="stable"), kind="stable")
-        out[miss] = -2 - rank[inv]
-    res = []
-    off = 0
-    for n in lens_c + lens_r:
-        res.append(out[off : off + n].tolist())
-        off += n
-    cycles_c = res[: len(cycles)]
-    reads_c = res[len(cycles) :]
+    cycles_c, reads_c = remap_chains(gids, cycles, reads)
     return region, cycles_c, reads_c
 
 

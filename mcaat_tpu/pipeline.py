@@ -133,17 +133,43 @@ def _build_graph_sharded(codes, lengths, settings: Settings):
     return sharded_dbg_to_dbg(sg)
 
 
+# above this node count the ordering stage condenses the read_len-hop
+# cycle region first: the full-array region growth (hops × O(4N) in one
+# device program) crashed the remote TPU worker at 16.7M nodes, and the
+# host Tarjan/CSR would otherwise walk the whole graph
+REGION_CONDENSE_MIN_NODES = 1_000_000
+
+
 def spacer_ordering_step(
     graph: DBG,
     reads: list[list[int]],
     cycles: list[list[int]],
     verbose: bool = True,
+    condense_min_nodes: int = REGION_CONDENSE_MIN_NODES,
 ) -> tuple[DBG, list[FoundSystem]]:
     """STEP 7 (≙ run_and_debug_spacer_ordering, main_run_and_debug.cpp:32-140)."""
     found_systems: list[FoundSystem] = []
     if not reads:
         return graph, found_systems
     read_chain_len = len(reads[0])
+
+    if graph.size >= condense_min_nodes:
+        from mcaat_tpu.cycles.neighborhood import (
+            extract_region_graph,
+            remap_chains,
+            undirected_region_mask,
+        )
+
+        seeds = np.asarray(sorted({n for c in cycles for n in c}), dtype=np.int64)
+        mask = undirected_region_mask(graph, seeds, read_chain_len)
+        graph, gids = extract_region_graph(graph, mask)
+        cycles, reads = remap_chains(gids, cycles, reads)
+        if verbose:
+            print(
+                f"  ▸ Region condensed to {len(gids)} nodes for the "
+                f"ordering stages"
+            )
+
     if verbose:
         print("  ▸ Splitting into subproblems")
     graph, subgraphs = get_crispr_regions_extended_by_k(graph, read_chain_len, cycles)

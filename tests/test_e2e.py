@@ -151,3 +151,38 @@ def test_debug_pipeline_smoke(tmp_path):
         l.startswith("Multiplicity ") and l.endswith(" nodes") for l in lines
     )
     assert (tmp_path / "grouped_paths_protospacers.txt").exists()
+
+
+@pytest.mark.slow
+def test_region_condensation_parity(tmp_path):
+    """Forced region condensation in the ordering stage == direct path
+    (the big-graph safeguard added after the 16.7M-node worker crash)."""
+    from mcaat_tpu.cycles.finder import cycles_map_to_cycles, find_cycles
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.pipeline import spacer_ordering_step
+    from mcaat_tpu.reads.mapper import get_reads
+
+    meta = make_metagenome(seed=17, n_arrays=2, n_spacers=5, coverage=40.0)
+    f1 = tmp_path / "r.fq"
+    write_fastq(str(f1), meta["reads"])
+    batch = encode_sequences(meta["reads"])
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    g, cycles_map = find_cycles(g, verbose=False)
+    cycles = cycles_map_to_cycles(cycles_map)
+    reads = get_reads(g, str(f1), None, cycles)
+    assert reads and cycles
+
+    _g1, sys_direct = spacer_ordering_step(
+        g, reads, cycles, verbose=False, condense_min_nodes=10**12
+    )
+    _g2, sys_cond = spacer_ordering_step(
+        g, reads, cycles, verbose=False, condense_min_nodes=0
+    )
+    assert len(sys_direct) == len(sys_cond) >= 1
+    for a, b in zip(sys_cond, sys_direct):
+        assert a.full_sequence == b.full_sequence
+        assert a.repeat == b.repeat
+        assert a.spacers == b.spacers
+        assert a.confidence_cycle_resolution == b.confidence_cycle_resolution
+        assert a.confidence_topological_sort == b.confidence_topological_sort
