@@ -305,8 +305,68 @@ def find_cycles(
     Returns the pruned graph and ``{start_node: [cycles]}`` (each cycle a
     node-id list beginning at its start node), the analog of
     ``CycleFinder::results`` (reference include/cycle_finder.h:60).
+
+    Large graphs take the compact path: after the static candidate scan,
+    the union forward-reachable set is extracted ONCE and both the
+    self-reach probes and the enumeration run on the compact subgraph —
+    per-lane BFS bitsets then size with the neighborhood, not N (at
+    16.7M nodes the full-graph probes alone carried a 1 GB visited
+    bitset per 512-lane batch).
     """
+    import jax.numpy as jnp
+
+    from mcaat_tpu.cycles.start_nodes import (
+        _candidate_mask,
+        bucket_start_nodes,
+        self_reachable_batch,
+    )
+
     graph = prune_graph(graph, verbose=verbose)
+    n = graph.size
+    if n >= NEIGHBORHOOD_MIN_NODES:
+        from mcaat_tpu.cycles.neighborhood import extract_subgraph, touched_mask
+
+        cand_mask = _candidate_mask(
+            graph.out, graph.in_, graph.valid, graph.mult, threshold_multiplicity
+        )
+        cand = np.nonzero(np.asarray(cand_mask))[0].astype(np.int64)
+        if verbose:
+            print(f"ChunkStartNodes: {len(cand)} candidates pass the static filter")
+        if len(cand) == 0:
+            return graph, {}
+        mask = touched_mask(graph.out, graph.valid, cand, cycle_max_length, n)
+        if mask is not None:
+            out_h, in_h, valid_h, mult_h, gids = extract_subgraph(graph, mask)
+            if verbose:
+                print(
+                    f"Neighborhood extraction: {len(gids)}/{n} nodes "
+                    f"touched by {len(cand)} start nodes"
+                )
+            sub = DBG(
+                k=graph.k,
+                kmers=jnp.zeros((len(gids),), jnp.int64),
+                mult=jnp.asarray(mult_h),
+                out=jnp.asarray(out_h.reshape(-1)),
+                in_=jnp.asarray(in_h.reshape(-1)),
+                valid=jnp.asarray(valid_h),
+            )
+            loc_cand = np.searchsorted(gids, cand).astype(np.int32)
+            reach = self_reachable_batch(sub, loc_cand, cycle_max_length)
+            kept_loc = loc_cand[reach]
+            buckets_loc = bucket_start_nodes(
+                kept_loc, mult_h[kept_loc], verbose=verbose
+            )
+            results_loc = enumerate_on_arrays(
+                out_h, in_h, valid_h, mult_h, buckets_loc,
+                cycle_min_length, cycle_max_length, verbose=verbose,
+            )
+            results = {
+                int(gids[s]): [[int(gids[v]) for v in cyc] for cyc in cycles]
+                for s, cycles in results_loc.items()
+            }
+            return graph, results
+        if verbose:
+            print("Neighborhood extraction overflowed; using full graph")
     buckets = select_start_nodes(
         graph, threshold_multiplicity, cycle_max_length, verbose=verbose
     )

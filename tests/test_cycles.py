@@ -289,3 +289,27 @@ def test_tangle_cluster_bounds_abort():
         verbose=False,
     )
     assert len(results2[0]) == 256
+
+
+def test_find_cycles_compact_path_parity():
+    """The large-graph compact path (probe + enumerate on the extracted
+    neighborhood) == the small-graph path, forced via the threshold."""
+    import mcaat_tpu.cycles.finder as finder_mod
+    from mcaat_tpu.cycles.finder import find_cycles
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from tests.synthetic import make_metagenome
+
+    meta = make_metagenome(seed=19, n_arrays=2, n_spacers=5)
+    batch = encode_sequences(meta["reads"])
+    g1 = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    g2 = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    old = finder_mod.NEIGHBORHOOD_MIN_NODES
+    try:
+        finder_mod.NEIGHBORHOOD_MIN_NODES = 0  # force compact path
+        _ga, res_compact = find_cycles(g1, verbose=False)
+    finally:
+        finder_mod.NEIGHBORHOOD_MIN_NODES = old
+    _gb, res_direct = find_cycles(g2, verbose=False)
+    assert res_compact == res_direct
+    assert res_direct, "fixture must produce cycles"
