@@ -313,6 +313,8 @@ def find_cycles(
     16.7M nodes the full-graph probes alone carried a 1 GB visited
     bitset per 512-lane batch).
     """
+    import time
+
     import jax.numpy as jnp
 
     from mcaat_tpu.cycles.start_nodes import (
@@ -321,7 +323,17 @@ def find_cycles(
         self_reachable_batch,
     )
 
+    t0 = time.perf_counter()
+
+    def _tick(label: str):
+        nonlocal t0
+        if verbose:
+            t1 = time.perf_counter()
+            print(f"    [cycles] {label}: {t1 - t0:.2f}s", flush=True)
+            t0 = t1
+
     graph = prune_graph(graph, verbose=verbose)
+    _tick("prune")
     n = graph.size
     if n >= NEIGHBORHOOD_MIN_NODES:
         from mcaat_tpu.cycles.neighborhood import extract_subgraph, touched_mask
@@ -332,9 +344,11 @@ def find_cycles(
         cand = np.nonzero(np.asarray(cand_mask))[0].astype(np.int64)
         if verbose:
             print(f"ChunkStartNodes: {len(cand)} candidates pass the static filter")
+        _tick("candidate scan")
         if len(cand) == 0:
             return graph, {}
         mask = touched_mask(graph.out, graph.valid, cand, cycle_max_length, n)
+        _tick("touched mask (union BFS)")
         if mask is not None:
             out_h, in_h, valid_h, mult_h, gids = extract_subgraph(graph, mask)
             if verbose:
@@ -342,6 +356,7 @@ def find_cycles(
                     f"Neighborhood extraction: {len(gids)}/{n} nodes "
                     f"touched by {len(cand)} start nodes"
                 )
+            _tick("subgraph extraction")
             sub = DBG(
                 k=graph.k,
                 kmers=jnp.zeros((len(gids),), jnp.int64),
@@ -352,6 +367,7 @@ def find_cycles(
             )
             loc_cand = np.searchsorted(gids, cand).astype(np.int32)
             reach = self_reachable_batch(sub, loc_cand, cycle_max_length)
+            _tick("self-reach probes")
             kept_loc = loc_cand[reach]
             buckets_loc = bucket_start_nodes(
                 kept_loc, mult_h[kept_loc], verbose=verbose
@@ -360,6 +376,7 @@ def find_cycles(
                 out_h, in_h, valid_h, mult_h, buckets_loc,
                 cycle_min_length, cycle_max_length, verbose=verbose,
             )
+            _tick("enumeration")
             results = {
                 int(gids[s]): [[int(gids[v]) for v in cyc] for cyc in cycles]
                 for s, cycles in results_loc.items()

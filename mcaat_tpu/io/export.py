@@ -17,6 +17,34 @@ import os
 from mcaat_tpu.graph.dbg import HostDBG
 
 
+def write_graph_dump(file_path: str, graph) -> None:
+    """Binary graph dump for the reference-parity harness.
+
+    Read by the mock SDBG (``tests/reference_parity/mock/sdbg/sdbg.h``),
+    which lets the reference's own pipeline sources run over a graph built
+    by this framework. Layout (little-endian): magic ``MCAATDBG``, int64 k,
+    int64 N, int64[N] kmers, int32[N] mult, int32[4N] out, int32[4N] in,
+    uint8[N] valid.
+    """
+    import numpy as np
+
+    host = graph.to_host() if hasattr(graph, "to_host") else graph
+    n = host.size
+    with open(file_path, "wb") as fh:
+        fh.write(b"MCAATDBG")
+        fh.write(np.int64(host.k).tobytes())
+        fh.write(np.int64(n).tobytes())
+        fh.write(np.ascontiguousarray(host.kmers, dtype=np.int64).tobytes())
+        fh.write(np.ascontiguousarray(host.mult, dtype=np.int32).tobytes())
+        fh.write(
+            np.ascontiguousarray(host.out.reshape(-1), dtype=np.int32).tobytes()
+        )
+        fh.write(
+            np.ascontiguousarray(host.in_.reshape(-1), dtype=np.int32).tobytes()
+        )
+        fh.write(np.ascontiguousarray(host.valid, dtype=np.uint8).tobytes())
+
+
 # -- io_ops (src/io_ops.cpp:4-67) -------------------------------------------
 
 

@@ -152,6 +152,14 @@ def spacer_ordering_step(
     if not reads:
         return graph, found_systems
     read_chain_len = len(reads[0])
+    t0 = time.perf_counter()
+
+    def _tick(label: str):
+        nonlocal t0
+        if verbose:
+            t1 = time.perf_counter()
+            print(f"    [ordering] {label}: {t1 - t0:.2f}s", flush=True)
+            t0 = t1
 
     if graph.size >= condense_min_nodes:
         from mcaat_tpu.cycles.neighborhood import (
@@ -169,10 +177,12 @@ def spacer_ordering_step(
                 f"  ▸ Region condensed to {len(gids)} nodes for the "
                 f"ordering stages"
             )
+        _tick("region condense")
 
     if verbose:
         print("  ▸ Splitting into subproblems")
     graph, subgraphs = get_crispr_regions_extended_by_k(graph, read_chain_len, cycles)
+    _tick("region split (SCC)")
 
     if verbose:
         print("  🔄 Filtering subproblems:")
@@ -192,6 +202,7 @@ def spacer_ordering_step(
             f"{len(subgraphs)} subproblems"
         )
         print(f"  🔄 Solving {len(remaining)} subproblems...")
+    _tick("subproblem filter")
 
     host_graph = graph.to_host()
     for idx, (sg, relevant_reads, relevant_cycles) in enumerate(remaining):
@@ -228,6 +239,7 @@ def spacer_ordering_step(
         )
     if verbose:
         print("  ✅ Completed each subproblem")
+    _tick("subproblem solve")
     return graph, found_systems
 
 
