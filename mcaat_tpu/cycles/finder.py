@@ -192,6 +192,29 @@ class CycleFinder:
 # [N,4] pull would be ~20 GB at the 1B-node target)
 NEIGHBORHOOD_MIN_NODES = 200_000
 
+# Above this node count tip clipping is DEFERRED to the extracted candidate
+# neighborhood ("lazy clip"): the global pointer-doubling chain collapse is
+# ~log2(N) full-array random gathers — 15.3s of a 19.1s cycle stage at 16.7M
+# nodes on v5e — while clipping the ~67k-node neighborhood costs ~0.1s.
+# This is output-preserving:
+#  * self-reach (<= L steps) is clip-invariant: every node on a closed walk
+#    lies on a cycle, and tip clipping never removes cycle nodes, so a
+#    self-reaching walk exists pre-clip iff it exists post-clip.
+#  * the candidate static filter matches the reference's post-clip filter on
+#    the final (self-reaching) set: for a self-reaching node v, every
+#    mult-valid in-neighbor u reaches v's cycle through the u->v edge, so u
+#    is post-clip alive and indeg_pre(v) == indeg_post(v). Pre-clip
+#    candidates are a superset, filtered to the same set by the probes.
+#  * enumeration runs on the locally-clipped neighborhood: every cycle
+#    (length <= L) through a start node lies in its forward <=L ball, local
+#    clipping preserves all cycles inside the ball, and locally-dead
+#    branches can never complete a cycle — the recorded cycle sequences are
+#    identical (src/cycle_finder.cpp runs post-clip; parity-tested in
+#    tests/test_reference_parity.py).
+# The ordering stage's region growth needs post-clip validity; the condensed
+# region graph is clipped there (pipeline.spacer_ordering_step).
+LAZY_CLIP_MIN_NODES = 1_000_000
+
 
 def enumerate_on_arrays(
     out: np.ndarray,
@@ -299,6 +322,7 @@ def find_cycles(
     cycle_min_length: int = 27,
     cycle_max_length: int = 77,
     verbose: bool = True,
+    full_prune: bool = False,
 ) -> tuple[DBG, dict[int, list[list[int]]]]:
     """Prune + start-node scan (device) + cycle enumeration (host).
 
@@ -307,11 +331,14 @@ def find_cycles(
     ``CycleFinder::results`` (reference include/cycle_finder.h:60).
 
     Large graphs take the compact path: after the static candidate scan,
-    the union forward-reachable set is extracted ONCE and both the
-    self-reach probes and the enumeration run on the compact subgraph —
-    per-lane BFS bitsets then size with the neighborhood, not N (at
-    16.7M nodes the full-graph probes alone carried a 1 GB visited
-    bitset per 512-lane batch).
+    the union forward-reachable set is extracted ONCE and the tip clip,
+    the self-reach probes and the enumeration all run on the compact
+    subgraph (see LAZY_CLIP_MIN_NODES; at 16.7M nodes the global chain
+    collapse alone cost 15.3s and the full-graph probes carried a 1 GB
+    visited bitset per 512-lane batch). With ``full_prune`` the graph is
+    always globally pruned first — callers whose downstream consumes
+    whole-graph validity (the DEBUG pipeline's Filters/protospacer/phage
+    stages) need that.
     """
     import time
 
@@ -322,6 +349,7 @@ def find_cycles(
         bucket_start_nodes,
         self_reachable_batch,
     )
+    from mcaat_tpu.prune.prune import clip_tips, invalidate_low_multiplicity
 
     t0 = time.perf_counter()
 
@@ -332,8 +360,21 @@ def find_cycles(
             print(f"    [cycles] {label}: {t1 - t0:.2f}s", flush=True)
             t0 = t1
 
-    graph = prune_graph(graph, verbose=verbose)
-    _tick("prune")
+    lazy_clip = not full_prune and graph.size >= LAZY_CLIP_MIN_NODES
+    if lazy_clip:
+        graph, n_mult = invalidate_low_multiplicity(graph)
+        if verbose:
+            print(
+                f"Graph size: {graph.size} nodes; "
+                f"tip clipping deferred to the candidate neighborhood"
+            )
+            print(
+                f"Pre-filter: invalidated {n_mult} node(s) with multiplicity <= 1."
+            )
+        _tick("mult filter")
+    else:
+        graph = prune_graph(graph, verbose=verbose)
+        _tick("prune")
     n = graph.size
     if n >= NEIGHBORHOOD_MIN_NODES:
         from mcaat_tpu.cycles.neighborhood import extract_subgraph, touched_mask
@@ -365,6 +406,16 @@ def find_cycles(
                 in_=jnp.asarray(in_h.reshape(-1)),
                 valid=jnp.asarray(valid_h),
             )
+            if lazy_clip:
+                # deferred tip clip, at neighborhood scale (see
+                # LAZY_CLIP_MIN_NODES for why this is output-preserving)
+                sub, n_clipped = clip_tips(sub)
+                valid_h = np.asarray(sub.valid)
+                if verbose:
+                    print(
+                        f"Neighborhood tip clip: {n_clipped} node(s) clipped"
+                    )
+                _tick("neighborhood clip")
             loc_cand = np.searchsorted(gids, cand).astype(np.int32)
             reach = self_reachable_batch(sub, loc_cand, cycle_max_length)
             _tick("self-reach probes")
@@ -384,6 +435,9 @@ def find_cycles(
             return graph, results
         if verbose:
             print("Neighborhood extraction overflowed; using full graph")
+        if lazy_clip:
+            graph, _ = clip_tips(graph)
+            _tick("global clip (extraction fallback)")
     buckets = select_start_nodes(
         graph, threshold_multiplicity, cycle_max_length, verbose=verbose
     )

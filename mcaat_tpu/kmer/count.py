@@ -127,6 +127,19 @@ def count_unique_with_ids(kmers_flat: jax.Array):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def extract_first_kmer(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+    """The first k-window of each read, packed int64 [R]; SENTINEL if len < k."""
+    codes = codes.astype(jnp.int64)
+    R, L = codes.shape
+
+    def body(t, acc):
+        return (acc << 2) | codes[:, t]
+
+    acc = jax.lax.fori_loop(0, min(k, L), body, jnp.zeros((R,), jnp.int64))
+    return jnp.where(lengths >= k, acc, SENTINEL)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def extract_last_kmer(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     """The last k-window of each read, packed int64 [R]; SENTINEL if len < k."""
     codes = codes.astype(jnp.int64)

@@ -268,15 +268,45 @@ def sharded_get_reads(
     return chains
 
 
-def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
-    from mcaat_tpu.kmer.count import extract_kmers
-
-    if full_batch.num_reads == 0:
-        return []
+def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
+    """Global node ids for a flat k-mer query array via the routed sharded
+    lookup, with capacity retries. 2x headroom over the perfectly-even
+    per-owner share; skewed k-mer distributions (low-complexity reads)
+    can route everything to one shard, so a dropped count retries with
+    doubled capacity rather than silently losing lookups."""
     kp, T = sg.kmers.shape
     shift = _owner_shift(sg.k, kp)
     dp = sg.mesh.shape["dp"]
     n_dev = dp * kp
+    Q = flat.shape[0]
+    Q_pad = (Q + n_dev - 1) // n_dev * n_dev
+    if Q_pad > Q:
+        flat = jnp.concatenate(
+            [flat, jnp.full((Q_pad - Q,), SENTINEL, dtype=flat.dtype)]
+        )
+    route_cap = _bucket_size(max(2 * Q_pad // n_dev, 1))
+    per_shard = Q_pad // dp
+    while True:
+        idx, dropped = sharded_lookup(
+            sg.mesh, sg.kmers.reshape(-1), flat, sg.k, route_cap=route_cap
+        )
+        if int(dropped) == 0 or route_cap >= per_shard:
+            break
+        route_cap = min(_bucket_size(route_cap * 2), _bucket_size(per_shard))
+    idx = np.asarray(idx)[:Q]
+    owner = np.asarray(flat[:Q] >> shift).astype(np.int64)
+    return np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)
+
+
+def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
+    from mcaat_tpu.kmer.count import (
+        extract_first_kmer,
+        extract_kmers,
+        extract_last_kmer,
+    )
+
+    if full_batch.num_reads == 0:
+        return []
     cyc = np.asarray(cycle_nodes, dtype=np.int64)
     k = sg.k
     L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
@@ -292,38 +322,37 @@ def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
         lengths[:R] = l_np
         if L_pad < k:
             continue
-        kmers = extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
-        W = kmers.shape[1]
-        flat = kmers.reshape(-1)
-        Q = flat.shape[0]
-        Q_pad = (Q + n_dev - 1) // n_dev * n_dev
-        if Q_pad > Q:
-            flat = jnp.concatenate(
-                [flat, jnp.full((Q_pad - Q,), SENTINEL, dtype=flat.dtype)]
-            )
-        # 2x headroom over the perfectly-even per-owner share; skewed
-        # k-mer distributions (low-complexity reads) can route everything
-        # to one shard, so a dropped count retries with doubled capacity
-        # rather than silently losing lookups
-        route_cap = _bucket_size(max(2 * Q_pad // n_dev, 1))
-        per_shard = Q_pad // sg.mesh.shape["dp"]
-        while True:
-            idx, dropped = sharded_lookup(
-                sg.mesh, sg.kmers.reshape(-1), flat, k, route_cap=route_cap
-            )
-            if int(dropped) == 0 or route_cap >= per_shard:
-                break
-            route_cap = min(_bucket_size(route_cap * 2), _bucket_size(per_shard))
-        idx = np.asarray(idx)[:Q].reshape(R_pad, W)
-        owner = np.asarray((flat[:Q] >> shift)).astype(np.int64).reshape(R_pad, W)
-        ids = np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)[:R]
-        n_windows = np.maximum(lengths[:R] - k + 1, 0).astype(np.int32)
-        firsts = ids[:, 0] if W else np.full(R, -1)
-        lasts = ids[np.arange(R), np.clip(n_windows - 1, 0, max(W - 1, 0))]
-        eligible = (lengths[:R] > 2 * k) & (n_windows > 0)
+        codes_j = jnp.asarray(codes)
+        lengths_j = jnp.asarray(lengths)
+        # phase 1: endpoint-only keep decision (reference keeps a read iff
+        # its first or last window node is in the cycle set,
+        # src/reads.cpp:74-76) — 2 routed lookups per read instead of W
+        ends = jnp.concatenate(
+            [
+                extract_first_kmer(codes_j, lengths_j, k),
+                extract_last_kmer(codes_j, lengths_j, k),
+            ]
+        )
+        end_ids = _sharded_lookup_ids(sg, ends)
+        firsts, lasts = end_ids[:R_pad][:R], end_ids[R_pad:][:R]
+        eligible = (lengths[:R] > 2 * k) & (l_np >= k)
         keep = eligible & (np.isin(firsts, cyc) | np.isin(lasts, cyc))
+        kept_idx = np.nonzero(keep)[0]
+        if len(kept_idx) == 0:
+            continue
+        # phase 2: full window chains for the kept reads only
+        n_kept = len(kept_idx)
+        g_pad = _bucket_size(n_kept)
+        codes_k = np.zeros((g_pad, L_pad), dtype=np.uint8)
+        codes_k[:n_kept] = codes[kept_idx]
+        lengths_k = np.zeros((g_pad,), dtype=np.int32)
+        lengths_k[:n_kept] = lengths[kept_idx]
+        kmers = extract_kmers(jnp.asarray(codes_k), jnp.asarray(lengths_k), k)
+        W = kmers.shape[1]
+        ids = _sharded_lookup_ids(sg, kmers.reshape(-1)).reshape(g_pad, W)
+        n_windows = np.maximum(lengths_k[:n_kept] - k + 1, 0).astype(np.int32)
         chains.extend(
-            ids[r, : int(n_windows[r])].tolist() for r in np.nonzero(keep)[0]
+            ids[r, : int(n_windows[r])].tolist() for r in range(n_kept)
         )
     return chains
 

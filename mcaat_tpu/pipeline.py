@@ -145,9 +145,11 @@ def spacer_ordering_step(
     reads: list[list[int]],
     cycles: list[list[int]],
     verbose: bool = True,
-    condense_min_nodes: int = REGION_CONDENSE_MIN_NODES,
+    condense_min_nodes: int | None = None,
 ) -> tuple[DBG, list[FoundSystem]]:
     """STEP 7 (≙ run_and_debug_spacer_ordering, main_run_and_debug.cpp:32-140)."""
+    if condense_min_nodes is None:
+        condense_min_nodes = REGION_CONDENSE_MIN_NODES
     found_systems: list[FoundSystem] = []
     if not reads:
         return graph, found_systems
@@ -177,6 +179,17 @@ def spacer_ordering_step(
                 f"  ▸ Region condensed to {len(gids)} nodes for the "
                 f"ordering stages"
             )
+        # lazy-clip completion (cycles/finder.LAZY_CLIP_MIN_NODES): at this
+        # scale the cycle stage defers tip clipping, so clip the condensed
+        # region so the region growth + SCC split below see post-clip
+        # validity. Output-preserving also when the graph was already
+        # globally clipped: locally-dead-only nodes can never belong to an
+        # SCC with >1 node (an SCC's cycle lies inside the region, so its
+        # nodes and every node on a <=read_len seed path to it reach a
+        # region-internal cycle and stay alive).
+        from mcaat_tpu.prune.prune import clip_tips
+
+        graph, _ = clip_tips(graph)
         _tick("region condense")
 
     if verbose:
@@ -340,12 +353,16 @@ def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResu
             fh.write(f"Multiplicity {m}: {c} nodes\n")
 
     cfs = settings.cycle_finder_settings
+    # full_prune: the DEBUG stages below (Filters, protospacer isolation,
+    # phage curation) consume whole-graph validity, so tip clipping cannot
+    # be deferred to the candidate neighborhood here
     graph, cycles_map = find_cycles(
         graph,
         threshold_multiplicity=cfs.threshold_multiplicity,
         cycle_min_length=cfs.cycle_min_length,
         cycle_max_length=cfs.cycle_max_length,
         verbose=verbose,
+        full_prune=True,
     )
     result.graph = graph
     result.cycles_map = cycles_map

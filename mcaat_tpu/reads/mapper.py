@@ -1,11 +1,13 @@
 """Read → node-chain mapping.
 
-Replaces reference ``src/reads.cpp:33-130``: every k-mer window of every
-read is mapped to a node id in one batched device lookup (vectorized
-binary search over the sorted k-mer table), instead of a scalar
-``IndexBinarySearch`` per window. A read is kept iff its *first or last*
-window's node is in the cycle-node set (src/reads.cpp:74-76); a kept read
-is its full chain of node ids, including misses (-1), mirroring the
+Replaces reference ``src/reads.cpp:33-130``. A read is kept iff its
+*first or last* window's node is in the cycle-node set
+(src/reads.cpp:74-76), so the mapper decides keep from ONE batched device
+lookup of just the two endpoint k-mers per read, then extracts + looks up
+full window chains only for the (rare) kept reads — instead of a scalar
+``IndexBinarySearch`` per window of every read like the reference, or a
+batched lookup of every window (~25x more volume at 3% keep rate). A kept
+read is its full chain of node ids, including misses (-1), mirroring the
 reference which stores whatever IndexBinarySearch returns.
 
 Reads with ``len(seq) <= 2k`` are skipped (src/reads.cpp:64-66).
@@ -100,10 +102,10 @@ def get_reads(
 
 
 def _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k: int):
-    """Device-side keep predicate (first/last window node in the cycle
-    set, src/reads.cpp:74-76). Evaluating it on device means only the
-    (rare) kept rows ever cross to the host — at scale the [R, W] id
-    matrix transfer is the read-mapping bottleneck, not the lookup."""
+    """Device-side keep predicate over a full window-id matrix (first/last
+    window node in the cycle set, src/reads.cpp:74-76). Retained for
+    :func:`map_reads_to_nodes` callers; the production mapper decides keep
+    from the two endpoint k-mers alone (:func:`_endpoint_keep_mask`)."""
     firsts = ids[:, 0]
     W = ids.shape[1]
     last_idx = jnp.clip(n_windows - 1, 0, W - 1).astype(jnp.int32)
@@ -122,6 +124,42 @@ def _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k: int):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _keep_mask_jit(ids, n_windows, lengths, cyc_sorted, k: int):
     return _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _endpoint_keep_mask(table, codes, lengths, cyc_sorted, k: int):
+    """Keep predicate from the two endpoint windows only.
+
+    The reference keeps a read iff its FIRST or LAST k-mer's node is in
+    the cycle set (src/reads.cpp:74-76) — so only those two windows need
+    extraction + lookup to decide keep. Full window chains are then
+    materialized for the (rare) kept reads alone: at 105M windows /
+    675k reads only ~3% survive, so this cuts the mapping stage's
+    extract+lookup volume ~25x versus scoring every window.
+    """
+    from mcaat_tpu.kmer.count import extract_first_kmer, extract_last_kmer
+
+    first_km = extract_first_kmer(codes, lengths, k)
+    last_km = extract_last_kmer(codes, lengths, k)
+    both = jnp.concatenate([first_km, last_km])
+    ids = _lookup_ids(table, both)
+    R = codes.shape[0]
+    firsts, lasts = ids[:R], ids[R:]
+
+    def isin(x):
+        x64 = x.astype(jnp.int64)
+        pos = jnp.searchsorted(cyc_sorted, x64)
+        pos_c = jnp.minimum(pos, cyc_sorted.shape[0] - 1)
+        return (x >= 0) & (cyc_sorted[pos_c] == x64)
+
+    eligible = lengths > 2 * k
+    return eligible & (isin(firsts) | isin(lasts))
+
+
+def _lookup_ids(table, query):
+    from mcaat_tpu.graph.dbg import _lookup
+
+    return _lookup(table, query)
 
 
 def _map_sequences(
@@ -173,27 +211,31 @@ def _map_batch(
         codes[:R, : c_np.shape[1]] = c_np
         lengths = np.zeros((R_pad,), dtype=np.int32)
         lengths[:R] = l_np
-        batch = ReadBatch(codes=codes, lengths=lengths)
-        if batch.max_len < graph.k:
+        if int(l_np.max(initial=0)) < graph.k:
             continue
-        kmers = extract_kmers(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), graph.k
+        # phase 1: endpoint-only keep decision (2 windows per read)
+        keep_d = _endpoint_keep_mask(
+            graph.kmers, jnp.asarray(codes), jnp.asarray(lengths), cyc_j, graph.k
         )
-        ids_d = graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)
-        lengths_d = jnp.asarray(batch.lengths)
-        n_windows_d = jnp.maximum(lengths_d - graph.k + 1, 0).astype(jnp.int32)
-        keep_d = _keep_mask_jit(ids_d, n_windows_d, lengths_d, cyc_j, graph.k)
         kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
         if len(kept_idx) == 0:
             continue
-        # transfer only the kept rows; bucket the row count so the gather
-        # hits a handful of compiled shapes instead of one per kept count
+        # phase 2: full window chains for the (rare) kept reads only;
+        # bucket the kept count so the extract+lookup hit a handful of
+        # compiled shapes instead of one per kept count
         n_kept = len(kept_idx)
         g_pad = _bucket_size(n_kept)
-        idx_b = np.zeros(g_pad, dtype=np.int64)
-        idx_b[:n_kept] = kept_idx
-        ids_kept = np.asarray(ids_d[jnp.asarray(idx_b)])[:n_kept]
-        n_win_host = np.asarray(n_windows_d)[kept_idx]
+        codes_k = np.zeros((g_pad, L_pad), dtype=np.uint8)
+        codes_k[:n_kept] = codes[kept_idx]
+        lengths_k = np.zeros((g_pad,), dtype=np.int32)
+        lengths_k[:n_kept] = lengths[kept_idx]
+        kmers = extract_kmers(
+            jnp.asarray(codes_k), jnp.asarray(lengths_k), graph.k
+        )
+        ids_kept = np.asarray(
+            graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)[:n_kept]
+        )
+        n_win_host = np.maximum(lengths_k[:n_kept] - graph.k + 1, 0)
         chains.extend(
             ids_kept[i, : int(n_win_host[i])].tolist() for i in range(n_kept)
         )

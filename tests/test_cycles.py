@@ -313,3 +313,34 @@ def test_find_cycles_compact_path_parity():
     _gb, res_direct = find_cycles(g2, verbose=False)
     assert res_compact == res_direct
     assert res_direct, "fixture must produce cycles"
+
+
+def test_find_cycles_lazy_clip_parity():
+    """Deferred (neighborhood-scale) tip clipping == global pruning,
+    forced via the thresholds (see finder.LAZY_CLIP_MIN_NODES)."""
+    import mcaat_tpu.cycles.finder as finder_mod
+    from mcaat_tpu.cycles.finder import find_cycles
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from tests.synthetic import make_metagenome
+
+    # background_len adds linear chains that only the tip clip removes
+    meta = make_metagenome(
+        seed=23, n_arrays=2, n_spacers=5, background_len=4000,
+        background_coverage=6.0,
+    )
+    batch = encode_sequences(meta["reads"])
+    g1 = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    g2 = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    old_n = finder_mod.NEIGHBORHOOD_MIN_NODES
+    old_l = finder_mod.LAZY_CLIP_MIN_NODES
+    try:
+        finder_mod.NEIGHBORHOOD_MIN_NODES = 0
+        finder_mod.LAZY_CLIP_MIN_NODES = 0  # force deferred clipping
+        _ga, res_lazy = find_cycles(g1, verbose=False)
+    finally:
+        finder_mod.NEIGHBORHOOD_MIN_NODES = old_n
+        finder_mod.LAZY_CLIP_MIN_NODES = old_l
+    _gb, res_full = find_cycles(g2, verbose=False, full_prune=True)
+    assert res_lazy == res_full
+    assert res_full, "fixture must produce cycles"

@@ -186,3 +186,36 @@ def test_region_condensation_parity(tmp_path):
         assert a.spacers == b.spacers
         assert a.confidence_cycle_resolution == b.confidence_cycle_resolution
         assert a.confidence_topological_sort == b.confidence_topological_sort
+
+
+@pytest.mark.slow
+def test_lazy_clip_pipeline_parity(tmp_path):
+    """Full pipeline with the big-graph path forced (deferred tip clip +
+    neighborhood extraction + region condensation) produces the same
+    report as the default small-graph path."""
+    import mcaat_tpu.cycles.finder as finder_mod
+    import mcaat_tpu.pipeline as pipeline_mod
+
+    meta = make_metagenome(
+        seed=29, n_arrays=2, n_spacers=5, background_len=4000,
+        background_coverage=6.0, coverage=40.0,
+    )
+    base = run_on(tmp_path, meta)
+    old = (
+        finder_mod.NEIGHBORHOOD_MIN_NODES,
+        finder_mod.LAZY_CLIP_MIN_NODES,
+        pipeline_mod.REGION_CONDENSE_MIN_NODES,
+    )
+    try:
+        finder_mod.NEIGHBORHOOD_MIN_NODES = 0
+        finder_mod.LAZY_CLIP_MIN_NODES = 0
+        pipeline_mod.REGION_CONDENSE_MIN_NODES = 0
+        big = run_on(tmp_path, meta)
+    finally:
+        (
+            finder_mod.NEIGHBORHOOD_MIN_NODES,
+            finder_mod.LAZY_CLIP_MIN_NODES,
+            pipeline_mod.REGION_CONDENSE_MIN_NODES,
+        ) = old
+    assert big.report_text == base.report_text
+    assert len(big.found_systems) == len(base.found_systems) >= 1
