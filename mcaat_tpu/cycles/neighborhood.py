@@ -190,27 +190,143 @@ def _gather_rows(adj_flat: jax.Array, ids: jax.Array) -> jax.Array:
     return adj_flat[slots]
 
 
+@functools.partial(jax.jit, static_argnames=("max_depth", "cap"))
+def _undirected_region_kernel(
+    out: jax.Array,  # int32 [4N] flat out-adjacency
+    in_: jax.Array,  # int32 [4N] flat in-adjacency
+    valid: jax.Array,  # bool  [N]
+    seeds: jax.Array,  # int32 [S], -1 padded, unique
+    max_depth: int,
+    cap: int,
+):
+    """Undirected bounded growth, one device program (cost ∝ region size).
+
+    Semantics of keep_crispr_regions_extended_by_k's growth (reference
+    src/spacer_ordering.cpp:96-129): invalid neighbors join the reached
+    set but only valid nodes expand. Same frontier/bitset machinery as
+    :func:`_union_reach_kernel`; returns (reached bool[N], overflow).
+    """
+    N = out.shape[0] // 4
+    W = (N + 31) // 32
+    S = seeds.shape[0]
+
+    seeds_c = jnp.where(seeds >= 0, seeds, N)
+    seeds_sorted = jnp.sort(seeds_c)
+    visited = jnp.zeros((W,), dtype=jnp.uint32)
+    sw = jnp.minimum(seeds_sorted >> 5, W - 1)
+    sb = jnp.where(
+        seeds_sorted < N,
+        jnp.uint32(1) << (seeds_sorted & 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    visited = visited.at[sw].add(sb, indices_are_sorted=True, mode="promise_in_bounds")
+
+    # frontier: valid seeds only (invalid seeds are reached, don't expand)
+    f_seed = jnp.where(valid[jnp.minimum(seeds_sorted, N - 1)], seeds_sorted, N)
+    f_seed = jnp.sort(f_seed)
+    frontier = jnp.full((cap,), N, dtype=jnp.int32)
+    take = min(cap, S)
+    frontier = frontier.at[:take].set(f_seed[:take])
+    overflow = jnp.sum(f_seed < N) > cap
+
+    def cond(state):
+        depth, frontier, visited, overflow = state
+        return (depth < max_depth) & (frontier[0] < N) & ~overflow
+
+    def body(state):
+        depth, frontier, visited, overflow = state
+        f_live = frontier < N
+        f_idx = jnp.minimum(frontier, N - 1)
+        slots = (f_idx * 4)[:, None] + jnp.arange(4, dtype=jnp.int32)
+        nbrs = jnp.concatenate([out[slots], in_[slots]], axis=1)  # [cap, 8]
+        ok = (nbrs >= 0) & f_live[:, None]
+        nbrs_c = jnp.maximum(nbrs, 0)
+        flat = jnp.sort(jnp.where(ok, nbrs_c, N).reshape(-1))  # [8*cap]
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), (flat[1:] == flat[:-1]) & (flat[1:] < N)]
+        )
+        word = jnp.minimum(flat >> 5, W - 1)
+        bit = jnp.uint32(1) << (flat & 31).astype(jnp.uint32)
+        got = visited.at[word].get(indices_are_sorted=True, mode="promise_in_bounds")
+        seen = (got & bit) != 0
+        fresh = jnp.where(dup | seen | (flat >= N), N, flat)
+        # mark ALL fresh nodes reached (valid or not) ...
+        fresh_s = jnp.sort(fresh)
+        w2 = jnp.minimum(fresh_s >> 5, W - 1)
+        b2 = jnp.where(
+            fresh_s < N,
+            jnp.uint32(1) << (fresh_s & 31).astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+        visited = visited.at[w2].add(
+            b2, indices_are_sorted=True, mode="promise_in_bounds"
+        )
+        # ... but only valid ones enter the next frontier
+        fresh_v = jnp.where(
+            (fresh_s < N) & valid[jnp.minimum(fresh_s, N - 1)], fresh_s, N
+        )
+        fresh_v = jnp.sort(fresh_v)
+        overflow = overflow | (jnp.sum(fresh_v < N) > cap)
+        return depth + 1, fresh_v[:cap], visited, overflow
+
+    _, frontier, visited, overflow = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), frontier, visited, overflow)
+    )
+    ids = jnp.arange(N, dtype=jnp.int32)
+    reached = (visited[ids >> 5] >> (ids & 31).astype(jnp.uint32)) & 1
+    return reached.astype(bool), overflow
+
+
 def undirected_region_mask(
     graph: DBG, seeds: np.ndarray, hops: int
 ) -> np.ndarray:
     """Undirected ``hops``-hop expansion of ``seeds`` (bool [N]): invalid
     neighbors join the reached set but only valid nodes expand — the
     exact semantics of keep_crispr_regions_extended_by_k's growth
-    (reference src/spacer_ordering.cpp:96-129), computed with per-level
-    frontier gathers (cost ∝ region size) instead of whole-array passes.
-    The full-array formulation (ordering._grow_region) runs hops × O(4N)
-    in ONE device program — at 16M+ nodes that program crashed the
-    remote TPU worker (execution watchdog); this loop keeps each device
-    step small and bounded.
+    (reference src/spacer_ordering.cpp:96-129). Runs as ONE device
+    program with a compacted frontier (cost ∝ region size, not N;
+    tiered frontier capacities). The full-array formulation
+    (ordering._grow_region) ran hops × O(4N) passes in one program and
+    crashed the remote TPU worker at 16M+ nodes; a per-level host loop
+    was correct but spent ~30ms of tunnel latency per gather (4.4s of
+    the ordering stage at 105M windows). Falls back to the host loop if
+    even the largest capacity tier overflows.
     """
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    n = graph.size
+    reached = np.zeros(n, dtype=bool)
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    if len(seeds) == 0:
+        return reached
+    cap0 = _bucket_size(max(4 * len(seeds), 4096))
+    for cap in (cap0, cap0 * 16, cap0 * 256):
+        if cap > 4 * n:
+            cap = _bucket_size(4 * n)
+        mask, overflow = _undirected_region_kernel(
+            graph.out,
+            graph.in_,
+            graph.valid,
+            jnp.asarray(seeds, dtype=jnp.int32),
+            hops,
+            cap,
+        )
+        if not bool(overflow):
+            return np.asarray(mask)
+        if cap >= 4 * n:
+            break
+    return _undirected_region_mask_host(graph, seeds, hops)
+
+
+def _undirected_region_mask_host(
+    graph: DBG, seeds: np.ndarray, hops: int
+) -> np.ndarray:
+    """Per-level host-loop fallback (exact same semantics, no frontier cap)."""
     from mcaat_tpu.graph.dbg import _bucket_size
 
     n = graph.size
     valid_h = np.asarray(graph.valid)
     reached = np.zeros(n, dtype=bool)
-    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
-    if len(seeds) == 0:
-        return reached
     reached[seeds] = True
     frontier = seeds[valid_h[seeds]]
     for _ in range(hops):

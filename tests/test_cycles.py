@@ -344,3 +344,46 @@ def test_find_cycles_lazy_clip_parity():
     _gb, res_full = find_cycles(g2, verbose=False, full_prune=True)
     assert res_lazy == res_full
     assert res_full, "fixture must produce cycles"
+
+
+def test_undirected_region_kernel_matches_host():
+    """Device region-growth kernel == per-level host loop on random
+    graphs with invalidated nodes (invalid nodes join the reached set
+    but never expand)."""
+    import jax.numpy as jnp
+
+    from mcaat_tpu.cycles.neighborhood import (
+        _undirected_region_mask_host,
+        undirected_region_mask,
+    )
+    from mcaat_tpu.graph.dbg import DBG
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n = int(rng.integers(30, 200))
+        out = np.full((n, 4), -1, dtype=np.int32)
+        for v in range(n):
+            for b in range(int(rng.integers(0, 3))):
+                out[v, b] = int(rng.integers(0, n))
+        in_ = np.full((n, 4), -1, dtype=np.int32)
+        for v in range(n):
+            for b, w in enumerate(out[v]):
+                if w >= 0:
+                    for slot in range(4):
+                        if in_[w, slot] < 0:
+                            in_[w, slot] = v
+                            break
+        valid = rng.random(n) > 0.3
+        g = DBG(
+            k=23,
+            kmers=jnp.zeros((n,), jnp.int64),
+            mult=jnp.ones((n,), jnp.int32),
+            out=jnp.asarray(out.reshape(-1)),
+            in_=jnp.asarray(in_.reshape(-1)),
+            valid=jnp.asarray(valid),
+        )
+        seeds = np.unique(rng.integers(0, n, size=5).astype(np.int64))
+        hops = int(rng.integers(1, 6))
+        got = undirected_region_mask(g, seeds, hops)
+        want = _undirected_region_mask_host(g, seeds, hops)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
