@@ -509,6 +509,7 @@ def build_dbg_from_reads(
     bucket_shapes: bool = True,
     chunk_windows: int = 24_000_000,
     engine: str | None = None,
+    verbose: bool = False,
 ) -> DBG:
     """End-to-end graph build from a padded read-code matrix.
 
@@ -523,6 +524,17 @@ def build_dbg_from_reads(
     tunnels). Padded nodes carry SENTINEL k-mers, multiplicity 0 and
     ``valid=False``; every query path masks them out.
     """
+    import time
+
+    t0 = time.perf_counter()
+
+    def _tick(label: str):
+        nonlocal t0
+        if verbose:
+            t1 = time.perf_counter()
+            print(f"    [build] {label}: {t1 - t0:.2f}s", flush=True)
+            t0 = t1
+
     codes_np = np.asarray(codes)
     lengths_np = np.asarray(lengths)
     if bucket_shapes:
@@ -541,6 +553,10 @@ def build_dbg_from_reads(
         codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)
         codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
         lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
+    if verbose:
+        _ = int(lengths_j[0])  # materialize: dispatch is async (and
+        # block_until_ready is unreliable over the tunnel)
+    _tick("upload + RC")
 
     # window cap from the TRUE max read length: the bucketed column pad
     # (L=100 -> 128) would otherwise inflate every window-multiset sort
@@ -559,7 +575,8 @@ def build_dbg_from_reads(
 
         chunk_rows = max(chunk_windows // max(min(int(codes_j.shape[1]) - k, w24), 1), 1)
         u24, c24, n24 = count_edges_chunked(codes_j, lengths_j, k, chunk_rows,
-                                            w_cap=w24)
+                                            w_cap=w24, verbose=verbose)
+        _tick(f"edge count (chunked, {n24} unique)")
     elif engine == "inst":
         from mcaat_tpu.kmer.count import count_unique_with_ids
 
@@ -586,6 +603,7 @@ def build_dbg_from_reads(
 
         km1 = extract_kmers(codes_j, lengths_j, k + 1, w_cap=w24).reshape(-1)
         u24, c24, n24 = count_unique(km1)
+        _tick(f"edge count ({int(n24)} unique)")
     # node table + per-edge source ids DERIVED from the (bucket-sliced)
     # unique edge table — two window-count-sized sorts cheaper than
     # re-counting the k-window multiset, and it halves the adjacency join
@@ -604,15 +622,20 @@ def build_dbg_from_reads(
     u_l, c_l, n_l = count_unique(last)
     if bucket_shapes:
         u_l, c_l, _ = _bucket_slice(u_l, c_l, int(n_l))
+    _tick("last-window count")
     u23, c23, n23, u_id = derive_nodes_from_edges(
         u24s, c24s, jnp.int32(n24_i), u_l, c_l
     )
     n23_i = int(n23)
+    _tick(f"derive nodes ({n23_i} nodes)")
     n_keep = _bucket_size(n23_i) if bucket_shapes else n23_i
     n_keep = min(n_keep, int(u23.shape[0]))
     graph = build_dbg(
         u23[:n_keep], c23[:n_keep], u24s, n_edges=n24_i, k=k, u_id=u_id
     )
+    if verbose:
+        _ = int(graph.out[0])  # materialize for timing
+    _tick("adjacency")
     # padded tail rows are non-nodes
     if n_keep > n23_i:
         live = jnp.arange(n_keep) < n23_i

@@ -380,7 +380,7 @@ def count_unique_chunked(
 
 
 def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
-                        w_cap: int | None = None):
+                        w_cap: int | None = None, verbose: bool = False):
     """Memory-bounded (k+1)-mer counting: per-chunk count + tree merge.
 
     Only the edge ((k+1)-mer) table is counted — the node table is derived
@@ -388,12 +388,15 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
     per-chunk sort work versus counting both multisets. Returns
     ``(u_k1, c_k1, n_k1)`` with a bucketed (SENTINEL-padded) table.
     """
+    import time
+
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     R = codes.shape[0]
     W = max(codes.shape[1] - k, 0)
     stage_host = R * W * 12 > STAGE_HOST_BYTES  # see count_unique_chunked
     parts = []
+    t0 = time.perf_counter()
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
         l = jnp.asarray(lengths[lo : lo + chunk_rows])
@@ -406,7 +409,19 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
         if stage_host:
             u, cnt = np.asarray(u), np.asarray(cnt)
         parts.append((u, cnt, nu_i))
-    return _tree_merge_counted(parts, stage_host=stage_host)
+    if verbose:
+        t1 = time.perf_counter()
+        print(
+            f"    [build]   {len(parts)} chunk counts: {t1 - t0:.2f}s "
+            f"(host-staged={stage_host})",
+            flush=True,
+        )
+        t0 = t1
+    res = _tree_merge_counted(parts, stage_host=stage_host)
+    if verbose:
+        _ = int(res[0][0]) if res[0].shape[0] else 0  # materialize
+        print(f"    [build]   tree merge: {time.perf_counter() - t0:.2f}s", flush=True)
+    return res
 
 
 def count_kmers_for_reads(

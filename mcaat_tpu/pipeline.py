@@ -90,7 +90,7 @@ def _sharded_mode(settings: Settings) -> bool:
     )
 
 
-def build_graph_from_settings(settings: Settings) -> DBG:
+def build_graph_from_settings(settings: Settings, verbose: bool = False) -> DBG:
     """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp).
 
     Uses the native parser when built (2-bit codes filled in C++, no
@@ -114,6 +114,7 @@ def build_graph_from_settings(settings: Settings) -> DBG:
         k=23,
         add_reverse_complement=settings.add_reverse_complement,
         chunk_windows=chunk_windows,
+        verbose=verbose,
     )
 
 
@@ -544,7 +545,7 @@ def run_pipeline(
             print(f"Graph loaded from checkpoint: {graph.size} nodes")
     else:
         with prof.stage("graph_build"):
-            graph = build_graph_from_settings(settings)
+            graph = build_graph_from_settings(settings, verbose=verbose)
         prof.count("graph_build", nodes=graph.size)
         if checkpoint_dir:
             ckpt.save_graph(_ck("graph.npz"), graph)
