@@ -173,8 +173,11 @@ def spacer_ordering_step(
 
         seeds = np.asarray(sorted({n for c in cycles for n in c}), dtype=np.int64)
         mask = undirected_region_mask(graph, seeds, read_chain_len)
+        _tick("region mask growth")
         graph, gids = extract_region_graph(graph, mask)
+        _tick("region extract")
         cycles, reads = remap_chains(gids, cycles, reads)
+        _tick("chain remap")
         if verbose:
             print(
                 f"  ▸ Region condensed to {len(gids)} nodes for the "
