@@ -212,8 +212,14 @@ NEIGHBORHOOD_MIN_NODES = 200_000
 #    identical (src/cycle_finder.cpp runs post-clip; parity-tested in
 #    tests/test_reference_parity.py).
 # The ordering stage's region growth needs post-clip validity; the condensed
-# region graph is clipped there (pipeline.spacer_ordering_step).
+# region graph is clipped there (pipeline.spacer_ordering_step completes the
+# deferred clip — its condense threshold is tied to this constant, and its
+# non-condensed path clips whenever the graph is at lazy scale).
 LAZY_CLIP_MIN_NODES = 1_000_000
+
+# Lazy clipping presumes enumeration runs on the (clipped) extracted
+# neighborhood, never on an unclipped full graph.
+assert LAZY_CLIP_MIN_NODES >= NEIGHBORHOOD_MIN_NODES
 
 
 def enumerate_on_arrays(
@@ -340,8 +346,6 @@ def find_cycles(
     whole-graph validity (the DEBUG pipeline's Filters/protospacer/phage
     stages) need that.
     """
-    import time
-
     import jax.numpy as jnp
 
     from mcaat_tpu.cycles.start_nodes import (
@@ -350,15 +354,9 @@ def find_cycles(
         self_reachable_batch,
     )
     from mcaat_tpu.prune.prune import clip_tips, invalidate_low_multiplicity
+    from mcaat_tpu.utils.profiling import tick_printer
 
-    t0 = time.perf_counter()
-
-    def _tick(label: str):
-        nonlocal t0
-        if verbose:
-            t1 = time.perf_counter()
-            print(f"    [cycles] {label}: {t1 - t0:.2f}s", flush=True)
-            t0 = t1
+    _tick = tick_printer("cycles", verbose)
 
     lazy_clip = not full_prune and graph.size >= LAZY_CLIP_MIN_NODES
     if lazy_clip:

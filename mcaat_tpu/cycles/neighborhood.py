@@ -275,7 +275,7 @@ def _undirected_region_kernel(
 
 
 def undirected_region_mask(
-    graph: DBG, seeds: np.ndarray, hops: int
+    graph: DBG, seeds: np.ndarray, hops: int, verbose: bool = False
 ) -> np.ndarray:
     """Undirected ``hops``-hop expansion of ``seeds`` (bool [N]): invalid
     neighbors join the reached set but only valid nodes expand — the
@@ -300,20 +300,25 @@ def undirected_region_mask(
     # the seed count (cycle nodes neighbor mostly other cycle nodes) — but
     # it must at least admit the level-0 frontier (the valid seeds)
     cap0 = _bucket_size(max(len(seeds), 4096))
+    # -1-pad the seed array to a bucketed size (the kernel masks them) so
+    # different datasets reuse compiled shapes — remote compiles cost
+    # minutes per fresh shape
+    s_pad = _bucket_size(len(seeds))
+    seeds_b = np.full(s_pad, -1, dtype=np.int32)
+    seeds_b[: len(seeds)] = seeds
+    seeds_j = jnp.asarray(seeds_b)
     for cap in (cap0, cap0 * 8, cap0 * 64):
         if cap > 4 * n:
             cap = _bucket_size(4 * n)
         mask, overflow = _undirected_region_kernel(
-            graph.out,
-            graph.in_,
-            graph.valid,
-            jnp.asarray(seeds, dtype=jnp.int32),
-            hops,
-            cap,
+            graph.out, graph.in_, graph.valid, seeds_j, hops, cap
         )
         if not bool(overflow):
             return np.asarray(mask)
-        print(f"    region growth kernel overflowed at cap={cap}", flush=True)
+        if verbose:
+            print(
+                f"    region growth kernel overflowed at cap={cap}", flush=True
+            )
         if cap >= 4 * n:
             break
     return _undirected_region_mask_host(graph, seeds, hops)

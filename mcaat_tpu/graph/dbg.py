@@ -524,16 +524,9 @@ def build_dbg_from_reads(
     tunnels). Padded nodes carry SENTINEL k-mers, multiplicity 0 and
     ``valid=False``; every query path masks them out.
     """
-    import time
+    from mcaat_tpu.utils.profiling import tick_printer
 
-    t0 = time.perf_counter()
-
-    def _tick(label: str):
-        nonlocal t0
-        if verbose:
-            t1 = time.perf_counter()
-            print(f"    [build] {label}: {t1 - t0:.2f}s", flush=True)
-            t0 = t1
+    _tick = tick_printer("build", verbose)
 
     codes_np = np.asarray(codes)
     lengths_np = np.asarray(lengths)

@@ -137,8 +137,12 @@ def _build_graph_sharded(codes, lengths, settings: Settings):
 # above this node count the ordering stage condenses the read_len-hop
 # cycle region first: the full-array region growth (hops × O(4N) in one
 # device program) crashed the remote TPU worker at 16.7M nodes, and the
-# host Tarjan/CSR would otherwise walk the whole graph
-REGION_CONDENSE_MIN_NODES = 1_000_000
+# host Tarjan/CSR would otherwise walk the whole graph. Tied to the cycle
+# stage's lazy-clip threshold: the condensation is also where the deferred
+# tip clip is completed (cycles/finder.LAZY_CLIP_MIN_NODES).
+from mcaat_tpu.cycles.finder import LAZY_CLIP_MIN_NODES as _LAZY_CLIP_MIN_NODES
+
+REGION_CONDENSE_MIN_NODES = _LAZY_CLIP_MIN_NODES
 
 
 def spacer_ordering_step(
@@ -155,14 +159,9 @@ def spacer_ordering_step(
     if not reads:
         return graph, found_systems
     read_chain_len = len(reads[0])
-    t0 = time.perf_counter()
+    from mcaat_tpu.utils.profiling import tick_printer
 
-    def _tick(label: str):
-        nonlocal t0
-        if verbose:
-            t1 = time.perf_counter()
-            print(f"    [ordering] {label}: {t1 - t0:.2f}s", flush=True)
-            t0 = t1
+    _tick = tick_printer("ordering", verbose)
 
     if graph.size >= condense_min_nodes:
         from mcaat_tpu.cycles.neighborhood import (
@@ -172,7 +171,7 @@ def spacer_ordering_step(
         )
 
         seeds = np.asarray(sorted({n for c in cycles for n in c}), dtype=np.int64)
-        mask = undirected_region_mask(graph, seeds, read_chain_len)
+        mask = undirected_region_mask(graph, seeds, read_chain_len, verbose=verbose)
         _tick("region mask growth")
         graph, gids = extract_region_graph(graph, mask)
         _tick("region extract")
@@ -195,6 +194,14 @@ def spacer_ordering_step(
 
         graph, _ = clip_tips(graph)
         _tick("region condense")
+    elif graph.size >= _LAZY_CLIP_MIN_NODES:
+        # a caller raised condense_min_nodes above the lazy-clip threshold:
+        # the graph may carry a deferred tip clip — complete it globally so
+        # the region growth below sees post-clip validity
+        from mcaat_tpu.prune.prune import clip_tips
+
+        graph, _ = clip_tips(graph)
+        _tick("global clip (condense skipped)")
 
     if verbose:
         print("  ▸ Splitting into subproblems")

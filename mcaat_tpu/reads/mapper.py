@@ -101,6 +101,17 @@ def get_reads(
     return chains
 
 
+def _isin_sorted(x, table_sorted):
+    """Membership of non-negative ids in a sorted id table (sort-merge
+    searchsorted: the default binary-search lowering is ~11x slower on
+    TPU at bulk sizes — CLAUDE.md perf facts)."""
+    x64 = x.astype(jnp.int64)
+    method = "sort" if x.size >= 4096 else "scan"
+    pos = jnp.searchsorted(table_sorted, x64, method=method)
+    pos_c = jnp.minimum(pos, table_sorted.shape[0] - 1)
+    return (x >= 0) & (table_sorted[pos_c] == x64)
+
+
 def _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k: int):
     """Device-side keep predicate over a full window-id matrix (first/last
     window node in the cycle set, src/reads.cpp:74-76). Retained for
@@ -110,15 +121,8 @@ def _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k: int):
     W = ids.shape[1]
     last_idx = jnp.clip(n_windows - 1, 0, W - 1).astype(jnp.int32)
     lasts = jnp.take_along_axis(ids, last_idx[:, None], axis=1)[:, 0]
-
-    def isin(x):
-        x64 = x.astype(jnp.int64)
-        pos = jnp.searchsorted(cyc_sorted, x64)
-        pos_c = jnp.minimum(pos, cyc_sorted.shape[0] - 1)
-        return (x >= 0) & (cyc_sorted[pos_c] == x64)
-
     eligible = (lengths > 2 * k) & (n_windows > 0)
-    return eligible & (isin(firsts) | isin(lasts))
+    return eligible & (_isin_sorted(firsts, cyc_sorted) | _isin_sorted(lasts, cyc_sorted))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -145,15 +149,8 @@ def _endpoint_keep_mask(table, codes, lengths, cyc_sorted, k: int):
     ids = _lookup_ids(table, both)
     R = codes.shape[0]
     firsts, lasts = ids[:R], ids[R:]
-
-    def isin(x):
-        x64 = x.astype(jnp.int64)
-        pos = jnp.searchsorted(cyc_sorted, x64)
-        pos_c = jnp.minimum(pos, cyc_sorted.shape[0] - 1)
-        return (x >= 0) & (cyc_sorted[pos_c] == x64)
-
     eligible = lengths > 2 * k
-    return eligible & (isin(firsts) | isin(lasts))
+    return eligible & (_isin_sorted(firsts, cyc_sorted) | _isin_sorted(lasts, cyc_sorted))
 
 
 def _lookup_ids(table, query):

@@ -64,6 +64,22 @@ class Profiler:
         )
 
 
+def tick_printer(prefix: str, enabled: bool):
+    """Substage wall-clock printer: ``tick("label")`` prints the elapsed
+    time since the previous tick as ``    [prefix] label: X.XXs`` when
+    enabled. Callers must materialize device results first (dispatch is
+    async and block_until_ready is unreliable over the remote-TPU tunnel)."""
+    state = {"t": time.perf_counter()}
+
+    def tick(label: str) -> None:
+        t1 = time.perf_counter()
+        if enabled:
+            print(f"    [{prefix}] {label}: {t1 - state['t']:.2f}s", flush=True)
+        state["t"] = t1
+
+    return tick
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler trace for a pipeline section (TensorBoard)."""
