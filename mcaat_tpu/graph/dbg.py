@@ -540,7 +540,9 @@ def build_dbg_from_reads(
         lengths2[:R] = lengths_np
         codes_np, lengths_np = codes2, lengths2
 
-    codes_j = jnp.asarray(codes_np)
+    from mcaat_tpu.kmer.count import upload_codes
+
+    codes_j = upload_codes(codes_np)  # 2-bit packed over the tunnel (4x)
     lengths_j = jnp.asarray(lengths_np)
     if add_reverse_complement:
         codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)

@@ -23,6 +23,35 @@ import numpy as np
 SENTINEL = jnp.iinfo(jnp.int64).max
 
 
+def pack_codes_host(codes: np.ndarray) -> np.ndarray:
+    """Pack a [R, L] 2-bit code matrix to [R, ceil(L/4)] bytes (host).
+
+    Host->device transfers ride a remote tunnel here (~5s for the 86 MB
+    code matrix of a 675k-read batch); packing 4 bases/byte cuts the wire
+    volume 4x. Unpack on device with :func:`unpack_codes_device`.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    R, L = codes.shape
+    Lp = (L + 3) // 4 * 4
+    c = np.zeros((R, Lp), np.uint8)
+    c[:, :L] = codes
+    c = c.reshape(R, Lp // 4, 4)
+    return c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+
+
+@jax.jit
+def unpack_codes_device(packed: jax.Array) -> jax.Array:
+    """[R, L/4] packed bytes -> [R, L] 2-bit codes (device)."""
+    shifts = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    u = (packed[:, :, None] >> shifts) & jnp.uint8(3)
+    return u.reshape(packed.shape[0], -1)
+
+
+def upload_codes(codes: np.ndarray) -> jax.Array:
+    """Host code matrix -> device, 2-bit packed over the wire."""
+    return unpack_codes_device(jnp.asarray(pack_codes_host(codes)))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w_cap"))
 def extract_kmers(
     codes: jax.Array, lengths: jax.Array, k: int, w_cap: int | None = None
@@ -308,15 +337,30 @@ def _bucket_slice(u: jax.Array, c: jax.Array, n: int):
 STAGE_HOST_BYTES = 3 << 30
 
 
+# Below this many cumulative part bytes ALL parts merge in one
+# concat + sort + segment-sum (2 sorted passes total) instead of the
+# pairwise tree (2 sorted passes per LEVEL): at 6 parts the tree sorts
+# ~2.6x the rows the flat merge does. Above it the tree bounds peak memory.
+FLAT_MERGE_BYTES = 2 << 30
+
+
+@jax.jit
+def _merge_sorted_tables(keys: jax.Array, cnts: jax.Array):
+    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
+    unique, counts, n_unique, _ = _compact_counted_sorted(keys, cnts)
+    return unique, counts, n_unique
+
+
 def _tree_merge_counted(parts, stage_host: bool = False):
-    """Pairwise tree merge of (unique, counts, n) parts.
+    """Merge (unique, counts, n) parts: flat single-sort when everything
+    fits on device, pairwise tree beyond.
 
     A linear accumulate-merge chain re-sorts the growing accumulator per
     chunk — O(K²·C) sorted rows for K chunks (measured 12x slower than
-    single-pass at 62M windows). The tree does O(K·C·log K). With
-    ``stage_host`` parts live on HOST between merges so device peak is two
-    inputs + merge buffers, not all K chunk tables (only worth it when the
-    tables are a large fraction of HBM).
+    single-pass at 62M windows). The tree does O(K·C·log K); the flat
+    merge O(K·C). With ``stage_host`` parts live on HOST between merges so
+    device peak is two inputs + merge buffers, not all K chunk tables
+    (only worth it when the tables are a large fraction of HBM).
     """
     if not parts:
         return (
@@ -324,6 +368,14 @@ def _tree_merge_counted(parts, stage_host: bool = False):
             jnp.zeros((0,), jnp.int32),
             0,
         )
+    total_rows = sum(int(u.shape[0]) for u, _c, _n in parts)
+    if len(parts) > 2 and not stage_host and total_rows * 12 <= FLAT_MERGE_BYTES:
+        keys = jnp.concatenate([jnp.asarray(u) for u, _c, _n in parts])
+        cnts = jnp.concatenate([jnp.asarray(c) for _u, c, _n in parts])
+        u, c, n = _merge_sorted_tables(keys, cnts)
+        n_i = int(n)
+        u, c, _ = _bucket_slice(u, c, n_i)
+        return u, c, n_i
     while len(parts) > 1:
         nxt = []
         for i in range(0, len(parts) - 1, 2):
@@ -379,9 +431,22 @@ def count_unique_chunked(
     return u[:n], c[:n], n
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w_cap", "chunk_rows"))
+def _count_edge_chunk(codes, lengths, start, k: int, w_cap, chunk_rows: int):
+    """(k+1)-mer count of one row chunk, sliced ON DEVICE: a traced start
+    offset means one compiled program serves every chunk, and the code
+    matrix never round-trips through host numpy between chunks (the
+    host-sliced formulation moved the full matrix down + up the remote
+    tunnel once per build)."""
+    c = jax.lax.dynamic_slice_in_dim(codes, start, chunk_rows, axis=0)
+    l = jax.lax.dynamic_slice_in_dim(lengths, start, chunk_rows, axis=0)
+    km1 = extract_kmers(c, l, k + 1, w_cap=w_cap).reshape(-1)
+    return count_unique(km1)
+
+
 def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
                         w_cap: int | None = None, verbose: bool = False):
-    """Memory-bounded (k+1)-mer counting: per-chunk count + tree merge.
+    """Memory-bounded (k+1)-mer counting: per-chunk count + merge.
 
     Only the edge ((k+1)-mer) table is counted — the node table is derived
     from it afterwards (:func:`derive_nodes_from_edges`), which halves the
@@ -390,18 +455,29 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
     """
     import time
 
-    codes = np.asarray(codes)
-    lengths = np.asarray(lengths)
-    R = codes.shape[0]
-    W = max(codes.shape[1] - k, 0)
+    R = int(codes.shape[0])
+    W = max(int(codes.shape[1]) - k, 0)
     stage_host = R * W * 12 > STAGE_HOST_BYTES  # see count_unique_chunked
+    # pad rows to a chunk multiple: dynamic_slice clamps at the array edge,
+    # which would re-count tail rows otherwise; zero-length pad rows
+    # produce only SENTINEL windows
+    n_chunks = max((R + chunk_rows - 1) // chunk_rows, 1)
+    R_pad = n_chunks * chunk_rows
+    codes_j = jnp.asarray(codes)
+    lengths_j = jnp.asarray(lengths)
+    if R_pad > R:
+        codes_j = jnp.concatenate(
+            [codes_j, jnp.zeros((R_pad - R, codes_j.shape[1]), codes_j.dtype)]
+        )
+        lengths_j = jnp.concatenate(
+            [lengths_j, jnp.zeros((R_pad - R,), lengths_j.dtype)]
+        )
     parts = []
     t0 = time.perf_counter()
-    for lo in range(0, R, chunk_rows):
-        c = jnp.asarray(codes[lo : lo + chunk_rows])
-        l = jnp.asarray(lengths[lo : lo + chunk_rows])
-        km1 = extract_kmers(c, l, k + 1, w_cap=w_cap).reshape(-1)
-        u, cnt, nu = count_unique(km1)
+    for ci in range(n_chunks):
+        u, cnt, nu = _count_edge_chunk(
+            codes_j, lengths_j, ci * chunk_rows, k, w_cap, chunk_rows
+        )
         nu_i = int(nu)
         # bucketed slices keep merge shapes stable across chunks (see
         # count_unique_chunked)

@@ -322,7 +322,9 @@ def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
         lengths[:R] = l_np
         if L_pad < k:
             continue
-        codes_j = jnp.asarray(codes)
+        from mcaat_tpu.kmer.count import upload_codes
+
+        codes_j = upload_codes(codes)  # 2-bit packed over the wire
         lengths_j = jnp.asarray(lengths)
         # phase 1: endpoint-only keep decision (reference keeps a read iff
         # its first or last window node is in the cycle set,

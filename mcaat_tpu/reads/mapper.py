@@ -210,9 +210,12 @@ def _map_batch(
         lengths[:R] = l_np
         if int(l_np.max(initial=0)) < graph.k:
             continue
-        # phase 1: endpoint-only keep decision (2 windows per read)
+        from mcaat_tpu.kmer.count import upload_codes
+
+        # phase 1: endpoint-only keep decision (2 windows per read);
+        # codes go up 2-bit packed (the tunnel is transfer-bound)
         keep_d = _endpoint_keep_mask(
-            graph.kmers, jnp.asarray(codes), jnp.asarray(lengths), cyc_j, graph.k
+            graph.kmers, upload_codes(codes), jnp.asarray(lengths), cyc_j, graph.k
         )
         kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
         if len(kept_idx) == 0:
