@@ -190,48 +190,32 @@ def _gather_rows(adj_flat: jax.Array, ids: jax.Array) -> jax.Array:
     return adj_flat[slots]
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "cap"))
-def _undirected_region_kernel(
+@functools.partial(jax.jit, static_argnames=("levels", "cap"))
+def _undirected_region_steps(
     out: jax.Array,  # int32 [4N] flat out-adjacency
     in_: jax.Array,  # int32 [4N] flat in-adjacency
     valid: jax.Array,  # bool  [N]
-    seeds: jax.Array,  # int32 [S], -1 padded, unique
-    max_depth: int,
+    frontier: jax.Array,  # int32 [cap] sorted, N-padded (valid nodes only)
+    visited: jax.Array,  # uint32 [ceil(N/32)] reached bitset
+    levels: int,
     cap: int,
 ):
-    """Undirected bounded growth, one device program (cost ∝ region size).
+    """``levels`` levels of undirected bounded growth (cost ∝ cap·levels).
 
     Semantics of keep_crispr_regions_extended_by_k's growth (reference
     src/spacer_ordering.cpp:96-129): invalid neighbors join the reached
-    set but only valid nodes expand. Same frontier/bitset machinery as
-    :func:`_union_reach_kernel`; returns (reached bool[N], overflow).
+    set but only valid nodes expand. State-in/state-out so the caller can
+    re-size ``cap`` between phases — the frontier collapses to a trickle
+    once the cycle region is saturated, and a fixed seed-sized cap would
+    pay cap-sized gathers for all ~78 levels. Returns
+    ``(frontier', visited', overflow)``.
     """
     N = out.shape[0] // 4
     W = (N + 31) // 32
-    S = seeds.shape[0]
-
-    seeds_c = jnp.where(seeds >= 0, seeds, N)
-    seeds_sorted = jnp.sort(seeds_c)
-    visited = jnp.zeros((W,), dtype=jnp.uint32)
-    sw = jnp.minimum(seeds_sorted >> 5, W - 1)
-    sb = jnp.where(
-        seeds_sorted < N,
-        jnp.uint32(1) << (seeds_sorted & 31).astype(jnp.uint32),
-        jnp.uint32(0),
-    )
-    visited = visited.at[sw].add(sb, indices_are_sorted=True, mode="promise_in_bounds")
-
-    # frontier: valid seeds only (invalid seeds are reached, don't expand)
-    f_seed = jnp.where(valid[jnp.minimum(seeds_sorted, N - 1)], seeds_sorted, N)
-    f_seed = jnp.sort(f_seed)
-    frontier = jnp.full((cap,), N, dtype=jnp.int32)
-    take = min(cap, S)
-    frontier = frontier.at[:take].set(f_seed[:take])
-    overflow = jnp.sum(f_seed < N) > cap
 
     def cond(state):
         depth, frontier, visited, overflow = state
-        return (depth < max_depth) & (frontier[0] < N) & ~overflow
+        return (depth < levels) & (frontier[0] < N) & ~overflow
 
     def body(state):
         depth, frontier, visited, overflow = state
@@ -267,11 +251,14 @@ def _undirected_region_kernel(
         return depth + 1, fresh_v[:cap], visited, overflow
 
     _, frontier, visited, overflow = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), frontier, visited, overflow)
+        cond, body, (jnp.int32(0), frontier, visited, jnp.array(False))
     )
-    ids = jnp.arange(N, dtype=jnp.int32)
-    reached = (visited[ids >> 5] >> (ids & 31).astype(jnp.uint32)) & 1
-    return reached.astype(bool), overflow
+    return frontier, visited, overflow
+
+
+# levels per phase: between phases the frontier capacity is re-sized to
+# the live frontier, so a saturated region stops paying seed-sized gathers
+_REGION_PHASE_LEVELS = 6
 
 
 def undirected_region_mask(
@@ -280,59 +267,97 @@ def undirected_region_mask(
     """Undirected ``hops``-hop expansion of ``seeds`` (bool [N]): invalid
     neighbors join the reached set but only valid nodes expand — the
     exact semantics of keep_crispr_regions_extended_by_k's growth
-    (reference src/spacer_ordering.cpp:96-129). Runs as ONE device
-    program with a compacted frontier (cost ∝ region size, not N;
-    tiered frontier capacities). The full-array formulation
-    (ordering._grow_region) ran hops × O(4N) passes in one program and
-    crashed the remote TPU worker at 16M+ nodes; a per-level host loop
-    was correct but spent ~30ms of tunnel latency per gather (4.4s of
-    the ordering stage at 105M windows). Falls back to the host loop if
-    even the largest capacity tier overflows.
+    (reference src/spacer_ordering.cpp:96-129). Runs as phased device
+    programs with a compacted frontier whose capacity adapts to the live
+    frontier between phases (cost ∝ region size, not N). The full-array
+    formulation (ordering._grow_region) ran hops × O(4N) passes in one
+    program and crashed the remote TPU worker at 16M+ nodes; a per-level
+    host loop was correct but spent ~30ms of tunnel latency per gather
+    (4.4s of the ordering stage at 105M windows). A phase that overflows
+    retries with 8x capacity from the same pre-phase state; the host
+    loop remains as the final fallback.
     """
     from mcaat_tpu.graph.dbg import _bucket_size
 
     n = graph.size
+    W = (n + 31) // 32
     reached = np.zeros(n, dtype=bool)
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
     if len(seeds) == 0:
         return reached
-    # the frontier holds only NEW nodes per level, typically far fewer than
-    # the seed count (cycle nodes neighbor mostly other cycle nodes) — but
-    # it must at least admit the level-0 frontier (the valid seeds)
-    cap0 = _bucket_size(max(len(seeds), 4096))
-    # -1-pad the seed array to a bucketed size (the kernel masks them) so
-    # different datasets reuse compiled shapes — remote compiles cost
-    # minutes per fresh shape
+
+    # initial reached bitset + valid-seed frontier, built on host (tiny)
+    visited_np = np.zeros(W, dtype=np.uint32)
+    np.bitwise_or.at(
+        visited_np, (seeds >> 5).astype(np.int64),
+        np.uint32(1) << (seeds & 31).astype(np.uint32),
+    )
+    visited_j = jnp.asarray(visited_np)
+    # bucket-pad the seed-validity gather so it reuses compiled shapes
     s_pad = _bucket_size(len(seeds))
-    seeds_b = np.full(s_pad, -1, dtype=np.int32)
+    seeds_b = np.zeros(s_pad, dtype=np.int64)
     seeds_b[: len(seeds)] = seeds
-    seeds_j = jnp.asarray(seeds_b)
-    for cap in (cap0, cap0 * 8, cap0 * 64):
-        if cap > 4 * n:
-            cap = _bucket_size(4 * n)
-        mask, overflow = _undirected_region_kernel(
-            graph.out, graph.in_, graph.valid, seeds_j, hops, cap
-        )
-        if not bool(overflow):
-            return np.asarray(mask)
-        if verbose:
-            print(
-                f"    region growth kernel overflowed at cap={cap}", flush=True
+    valid_seed = np.asarray(graph.valid[jnp.asarray(seeds_b)])[: len(seeds)]
+    frontier_np = seeds[valid_seed].astype(np.int32)
+
+    remaining = hops
+    while remaining > 0 and len(frontier_np) > 0:
+        levels = min(_REGION_PHASE_LEVELS, remaining)
+        cap = _bucket_size(max(4 * len(frontier_np), 4096))
+        done = False
+        while not done:
+            if cap > 4 * n:
+                cap = _bucket_size(4 * n)
+            fr = np.full(cap, n, dtype=np.int32)
+            fr[: len(frontier_np)] = np.sort(frontier_np)
+            frontier_j, visited_next, overflow = _undirected_region_steps(
+                graph.out, graph.in_, graph.valid,
+                jnp.asarray(fr), visited_j, levels, cap,
             )
-        if cap >= 4 * n:
-            break
-    return _undirected_region_mask_host(graph, seeds, hops)
+            if not bool(overflow):
+                visited_j = visited_next
+                f = np.asarray(frontier_j)
+                frontier_np = f[f < n]
+                remaining -= levels
+                done = True
+            elif cap >= 4 * n:
+                # even the full-graph tier overflowed: host fallback picks
+                # up from the already-reached state
+                if verbose:
+                    print(
+                        f"    region growth kernel overflowed at cap={cap}",
+                        flush=True,
+                    )
+                reached = _unpack_bitset(np.asarray(visited_j), n)
+                return _undirected_region_mask_host(
+                    graph, frontier_np.astype(np.int64), remaining,
+                    reached=reached,
+                )
+            else:
+                cap = cap * 8  # retry the same phase from pre-phase state
+
+    return _unpack_bitset(np.asarray(visited_j), n)
+
+
+def _unpack_bitset(words: np.ndarray, n: int) -> np.ndarray:
+    ids = np.arange(n, dtype=np.int64)
+    return ((words[ids >> 5] >> (ids & 31).astype(np.uint32)) & 1).astype(bool)
 
 
 def _undirected_region_mask_host(
-    graph: DBG, seeds: np.ndarray, hops: int
+    graph: DBG, seeds: np.ndarray, hops: int, reached: np.ndarray | None = None
 ) -> np.ndarray:
-    """Per-level host-loop fallback (exact same semantics, no frontier cap)."""
+    """Per-level host-loop fallback (exact same semantics, no frontier cap).
+
+    ``reached`` continues from a partially-grown state (kernel overflow
+    handoff): ``seeds`` is then the live frontier, already in it.
+    """
     from mcaat_tpu.graph.dbg import _bucket_size
 
     n = graph.size
     valid_h = np.asarray(graph.valid)
-    reached = np.zeros(n, dtype=bool)
+    if reached is None:
+        reached = np.zeros(n, dtype=bool)
     reached[seeds] = True
     frontier = seeds[valid_h[seeds]]
     for _ in range(hops):
