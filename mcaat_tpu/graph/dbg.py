@@ -540,37 +540,51 @@ def build_dbg_from_reads(
         lengths2[:R] = lengths_np
         codes_np, lengths_np = codes2, lengths2
 
-    from mcaat_tpu.kmer.count import upload_codes
+    from mcaat_tpu.kmer.count import revcomp_kmers, upload_codes
 
     codes_j = upload_codes(codes_np)  # 2-bit packed over the tunnel (4x)
     lengths_j = jnp.asarray(lengths_np)
-    if add_reverse_complement:
+    # The RC strand never materializes as a code matrix: the RC read's
+    # window multiset is the elementwise revcomp_kmers of the forward
+    # windows (and its last k-window is the RC of the forward FIRST
+    # k-window), so RC joins inside the counting programs as bit math.
+    # (The old row-wise RC roll cost ~3-4s of take_along_axis gathers per
+    # 675k-read build.) The "inst" engine still needs RC code rows.
+    add_rc = add_reverse_complement
+    if engine is None:
+        engine = BUILD_ENGINE
+    if add_rc and engine == "inst":
         codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)
         codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
         lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
+        add_rc = False
     if verbose:
         _ = int(lengths_j[0])  # materialize: dispatch is async (and
         # block_until_ready is unreliable over the tunnel)
-    _tick("upload + RC")
+    _tick("upload")
 
     # window cap from the TRUE max read length: the bucketed column pad
     # (L=100 -> 128) would otherwise inflate every window-multiset sort
     # by the pad ratio (~35% dead SENTINEL windows)
     max_true = int(lengths_np.max()) if lengths_np.size else 0
     w24 = max((max_true - k + 7) // 8 * 8, 8)
-    n_windows = int(codes_j.shape[0]) * min(
-        max(int(codes_j.shape[1]) - k, 0), w24
+    n_windows = (
+        int(codes_j.shape[0])
+        * min(max(int(codes_j.shape[1]) - k, 0), w24)
+        * (2 if add_rc else 1)
     )
-    if engine is None:
-        engine = BUILD_ENGINE
     if chunk_windows and n_windows > chunk_windows:
         # memory-bounded multi-pass counting (single-pass peak would
         # exceed HBM past ~60M windows on a 16GB chip)
         from mcaat_tpu.kmer.count import count_edges_chunked
 
-        chunk_rows = max(chunk_windows // max(min(int(codes_j.shape[1]) - k, w24), 1), 1)
+        windows_per_row = max(min(int(codes_j.shape[1]) - k, w24), 1) * (
+            2 if add_rc else 1
+        )
+        chunk_rows = max(chunk_windows // windows_per_row, 1)
         u24, c24, n24 = count_edges_chunked(codes_j, lengths_j, k, chunk_rows,
-                                            w_cap=w24, verbose=verbose)
+                                            w_cap=w24, verbose=verbose,
+                                            add_rc=add_rc)
         _tick(f"edge count (chunked, {n24} unique)")
     elif engine == "inst":
         from mcaat_tpu.kmer.count import count_unique_with_ids
@@ -597,6 +611,8 @@ def build_dbg_from_reads(
         from mcaat_tpu.kmer.count import count_unique
 
         km1 = extract_kmers(codes_j, lengths_j, k + 1, w_cap=w24).reshape(-1)
+        if add_rc:
+            km1 = jnp.concatenate([km1, revcomp_kmers(km1, k + 1)])
         u24, c24, n24 = count_unique(km1)
         _tick(f"edge count ({int(n24)} unique)")
     # node table + per-edge source ids DERIVED from the (bucket-sliced)
@@ -606,6 +622,7 @@ def build_dbg_from_reads(
         _bucket_slice,
         count_unique,
         derive_nodes_from_edges,
+        extract_first_kmer,
         extract_last_kmer,
     )
 
@@ -614,6 +631,11 @@ def build_dbg_from_reads(
     e_keep = min(e_keep, int(u24.shape[0]))
     u24s, c24s = u24[:e_keep], c24[:e_keep]
     last = extract_last_kmer(codes_j, lengths_j, k)
+    if add_rc:
+        # the RC strand's last k-window == RC of the forward FIRST window
+        last = jnp.concatenate(
+            [last, revcomp_kmers(extract_first_kmer(codes_j, lengths_j, k), k)]
+        )
     u_l, c_l, n_l = count_unique(last)
     if bucket_shapes:
         u_l, c_l, _ = _bucket_slice(u_l, c_l, int(n_l))

@@ -79,6 +79,35 @@ def extract_kmers(
     return jnp.where(valid, kmers, SENTINEL)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def revcomp_kmers(kmers: jax.Array, k: int) -> jax.Array:
+    """Elementwise reverse-complement of packed k-mers (SENTINEL kept).
+
+    Pure VPU bit math: complement is XOR with 2k ones (2-bit code c ->
+    3-c), base-order reversal is a full 2-bit-group bit reversal of the
+    64-bit word followed by a logical right shift. This is what lets the
+    both-strand build skip materializing reverse-complemented code
+    matrices entirely — the RC read's window multiset IS the elementwise
+    RC of the forward window multiset, and the row-wise RC roll
+    (take_along_axis over [R, L]) measured ~3-4s per 675k-read build on
+    v5e while this is ~10 cheap ops per lane.
+    """
+    u = kmers.astype(jnp.uint64)
+    ones = (jnp.uint64(1) << jnp.uint64(2 * k)) - jnp.uint64(1)
+    x = u ^ ones
+    m1 = jnp.uint64(0x3333333333333333)
+    x = ((x >> 2) & m1) | ((x & m1) << 2)
+    m2 = jnp.uint64(0x0F0F0F0F0F0F0F0F)
+    x = ((x >> 4) & m2) | ((x & m2) << 4)
+    m3 = jnp.uint64(0x00FF00FF00FF00FF)
+    x = ((x >> 8) & m3) | ((x & m3) << 8)
+    m4 = jnp.uint64(0x0000FFFF0000FFFF)
+    x = ((x >> 16) & m4) | ((x & m4) << 16)
+    x = (x >> 32) | (x << 32)
+    x = x >> jnp.uint64(64 - 2 * k)
+    return jnp.where(kmers == SENTINEL, SENTINEL, x.astype(jnp.int64))
+
+
 @jax.jit
 def count_unique(kmers_flat: jax.Array):
     """Sort + segment-reduce: unique sorted values and their counts.
@@ -337,30 +366,19 @@ def _bucket_slice(u: jax.Array, c: jax.Array, n: int):
 STAGE_HOST_BYTES = 3 << 30
 
 
-# Below this many cumulative part bytes ALL parts merge in one
-# concat + sort + segment-sum (2 sorted passes total) instead of the
-# pairwise tree (2 sorted passes per LEVEL): at 6 parts the tree sorts
-# ~2.6x the rows the flat merge does. Above it the tree bounds peak memory.
-FLAT_MERGE_BYTES = 2 << 30
-
-
-@jax.jit
-def _merge_sorted_tables(keys: jax.Array, cnts: jax.Array):
-    keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
-    unique, counts, n_unique, _ = _compact_counted_sorted(keys, cnts)
-    return unique, counts, n_unique
-
-
 def _tree_merge_counted(parts, stage_host: bool = False):
-    """Merge (unique, counts, n) parts: flat single-sort when everything
-    fits on device, pairwise tree beyond.
+    """Pairwise tree merge of (unique, counts, n) parts.
 
     A linear accumulate-merge chain re-sorts the growing accumulator per
     chunk — O(K²·C) sorted rows for K chunks (measured 12x slower than
-    single-pass at 62M windows). The tree does O(K·C·log K); the flat
-    merge O(K·C). With ``stage_host`` parts live on HOST between merges so
-    device peak is two inputs + merge buffers, not all K chunk tables
-    (only worth it when the tables are a large fraction of HBM).
+    single-pass at 62M windows). The tree does O(K·C·log K). With
+    ``stage_host`` parts live on HOST between merges so device peak is two
+    inputs + merge buffers, not all K chunk tables (only worth it when the
+    tables are a large fraction of HBM). A flat concat-all + single-sort
+    merge was tried (r2) and measured SLOWER at 6x16.7M parts (3.0s vs
+    2.6s): chunk tables overlap heavily on high-coverage data, so the
+    tree's intermediate bucket-sliced dedup sorts fewer total rows than
+    one full-width sort.
     """
     if not parts:
         return (
@@ -368,14 +386,6 @@ def _tree_merge_counted(parts, stage_host: bool = False):
             jnp.zeros((0,), jnp.int32),
             0,
         )
-    total_rows = sum(int(u.shape[0]) for u, _c, _n in parts)
-    if len(parts) > 2 and not stage_host and total_rows * 12 <= FLAT_MERGE_BYTES:
-        keys = jnp.concatenate([jnp.asarray(u) for u, _c, _n in parts])
-        cnts = jnp.concatenate([jnp.asarray(c) for _u, c, _n in parts])
-        u, c, n = _merge_sorted_tables(keys, cnts)
-        n_i = int(n)
-        u, c, _ = _bucket_slice(u, c, n_i)
-        return u, c, n_i
     while len(parts) > 1:
         nxt = []
         for i in range(0, len(parts) - 1, 2):
@@ -431,21 +441,29 @@ def count_unique_chunked(
     return u[:n], c[:n], n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w_cap", "chunk_rows"))
-def _count_edge_chunk(codes, lengths, start, k: int, w_cap, chunk_rows: int):
+@functools.partial(
+    jax.jit, static_argnames=("k", "w_cap", "chunk_rows", "add_rc")
+)
+def _count_edge_chunk(codes, lengths, start, k: int, w_cap, chunk_rows: int,
+                      add_rc: bool = False):
     """(k+1)-mer count of one row chunk, sliced ON DEVICE: a traced start
     offset means one compiled program serves every chunk, and the code
     matrix never round-trips through host numpy between chunks (the
     host-sliced formulation moved the full matrix down + up the remote
-    tunnel once per build)."""
+    tunnel once per build). With ``add_rc`` the reverse-complement strand
+    joins the multiset as the elementwise RC of the forward windows
+    (:func:`revcomp_kmers`) — no RC code matrix exists anywhere."""
     c = jax.lax.dynamic_slice_in_dim(codes, start, chunk_rows, axis=0)
     l = jax.lax.dynamic_slice_in_dim(lengths, start, chunk_rows, axis=0)
     km1 = extract_kmers(c, l, k + 1, w_cap=w_cap).reshape(-1)
+    if add_rc:
+        km1 = jnp.concatenate([km1, revcomp_kmers(km1, k + 1)])
     return count_unique(km1)
 
 
 def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
-                        w_cap: int | None = None, verbose: bool = False):
+                        w_cap: int | None = None, verbose: bool = False,
+                        add_rc: bool = False):
     """Memory-bounded (k+1)-mer counting: per-chunk count + merge.
 
     Only the edge ((k+1)-mer) table is counted — the node table is derived
@@ -456,7 +474,7 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
     import time
 
     R = int(codes.shape[0])
-    W = max(int(codes.shape[1]) - k, 0)
+    W = max(int(codes.shape[1]) - k, 0) * (2 if add_rc else 1)
     stage_host = R * W * 12 > STAGE_HOST_BYTES  # see count_unique_chunked
     # pad rows to a chunk multiple: dynamic_slice clamps at the array edge,
     # which would re-count tail rows otherwise; zero-length pad rows
@@ -476,7 +494,8 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
     t0 = time.perf_counter()
     for ci in range(n_chunks):
         u, cnt, nu = _count_edge_chunk(
-            codes_j, lengths_j, ci * chunk_rows, k, w_cap, chunk_rows
+            codes_j, lengths_j, ci * chunk_rows, k, w_cap, chunk_rows,
+            add_rc=add_rc,
         )
         nu_i = int(nu)
         # bucketed slices keep merge shapes stable across chunks (see
