@@ -595,7 +595,7 @@ def run_pipeline(
     else:
         f1, f2 = settings.fastq_files()
         with prof.stage("read_mapping"):
-            reads = get_reads(graph, f1, f2, result.cycles)
+            reads = get_reads(graph, f1, f2, result.cycles, verbose=verbose)
         prof.count("read_mapping", reads=len(reads))
         if checkpoint_dir:
             ckpt.save_reads(_ck("reads.json"), reads)

@@ -79,6 +79,7 @@ def get_reads(
     fastq_file_1: str,
     fastq_file_2: Optional[str],
     cycles: list[list[int]],
+    verbose: bool = False,
 ) -> list[list[int]]:
     """≙ reference ``get_reads`` (src/reads.cpp:91-130).
 
@@ -88,16 +89,23 @@ def get_reads(
     (≙ reverse_pair_ends_sequence, src/reads.cpp:20-31).
     """
     from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
+    from mcaat_tpu.utils.profiling import tick_printer
 
+    _tick = tick_printer("mapper", verbose)
     cycle_nodes: set[int] = set()
     for cycle in cycles:
         cycle_nodes.update(int(n) for n in cycle)
 
     chains: list[list[int]] = []
-    chains.extend(_map_batch(graph, read_encoded_batch(fastq_file_1), cycle_nodes))
+    b1 = read_encoded_batch(fastq_file_1)
+    _tick(f"parse ({b1.num_reads} reads)")
+    chains.extend(_map_batch(graph, b1, cycle_nodes))
+    _tick("map")
     if fastq_file_2:
         b2 = reverse_complement_batch(read_encoded_batch(fastq_file_2))
+        _tick(f"parse mate-2")
         chains.extend(_map_batch(graph, b2, cycle_nodes))
+        _tick("map mate-2")
     return chains
 
 
