@@ -300,6 +300,8 @@ def undirected_region_mask(
     valid_seed = np.asarray(graph.valid[jnp.asarray(seeds_b)])[: len(seeds)]
     frontier_np = seeds[valid_seed].astype(np.int32)
 
+    import time
+
     remaining = hops
     while remaining > 0 and len(frontier_np) > 0:
         levels = min(_REGION_PHASE_LEVELS, remaining)
@@ -310,6 +312,7 @@ def undirected_region_mask(
                 cap = _bucket_size(4 * n)
             fr = np.full(cap, n, dtype=np.int32)
             fr[: len(frontier_np)] = np.sort(frontier_np)
+            t0 = time.perf_counter()
             frontier_j, visited_next, overflow = _undirected_region_steps(
                 graph.out, graph.in_, graph.valid,
                 jnp.asarray(fr), visited_j, levels, cap,
@@ -320,6 +323,13 @@ def undirected_region_mask(
                 frontier_np = f[f < n]
                 remaining -= levels
                 done = True
+                if verbose:
+                    print(
+                        f"      region phase: {levels} levels cap={cap} "
+                        f"frontier={len(frontier_np)} "
+                        f"({time.perf_counter() - t0:.2f}s)",
+                        flush=True,
+                    )
             elif cap >= 4 * n:
                 # even the full-graph tier overflowed: host fallback picks
                 # up from the already-reached state
