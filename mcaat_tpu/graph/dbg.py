@@ -507,7 +507,7 @@ def build_dbg_from_reads(
     k: int = 23,
     add_reverse_complement: bool = True,
     bucket_shapes: bool = True,
-    chunk_windows: int = 24_000_000,
+    chunk_windows: int = 128_000_000,
     engine: str | None = None,
     verbose: bool = False,
 ) -> DBG:

@@ -103,9 +103,11 @@ def build_graph_from_settings(settings: Settings, verbose: bool = False) -> DBG:
             return graph
     # --ram bounds the counting working set (≙ the reference feeding
     # --ram to megahit's host_mem, src/sdbg_build.cpp:202): the default
-    # 24M-window chunk is sized for a 16 GB-HBM chip; scale down
+    # 128M-window single-pass/chunk budget is sized for a 16 GB-HBM chip
+    # (measured: single-pass counting at 105M windows peaks well under
+    # 16 GB and runs 1.9x faster than 24M chunks — r2); scale down
     # proportionally when the user asks for less
-    chunk_windows = 24_000_000
+    chunk_windows = 128_000_000
     if settings.ram_explicit and settings.ram and settings.ram < 16.0:
         chunk_windows = max(int(chunk_windows * settings.ram / 16.0), 2_000_000)
     return build_dbg_from_reads(
