@@ -302,31 +302,41 @@ def undirected_region_mask(
 
     import time
 
+    # ONE upload; afterwards the frontier stays device-resident between
+    # phases (re-sized with device slice/pad) — host->device uploads over
+    # the remote tunnel carry ~0.5s latency each, and 13 per-phase
+    # re-uploads cost ~7s of an 8.9s growth at 105M windows (r2)
+    count = len(frontier_np)
+    cap = _bucket_size(max(4 * count, 4096))
+    if cap > 4 * n:
+        cap = _bucket_size(4 * n)
+    fr = np.full(cap, n, dtype=np.int32)
+    fr[:count] = np.sort(frontier_np)
+    frontier_j = jnp.asarray(fr)
+
     remaining = hops
-    while remaining > 0 and len(frontier_np) > 0:
+    while remaining > 0 and count > 0:
         levels = min(_REGION_PHASE_LEVELS, remaining)
-        cap = _bucket_size(max(4 * len(frontier_np), 4096))
+        want = _bucket_size(max(4 * count, 4096))
+        cap = min(want, _bucket_size(4 * n))
         done = False
         while not done:
-            if cap > 4 * n:
-                cap = _bucket_size(4 * n)
-            fr = np.full(cap, n, dtype=np.int32)
-            fr[: len(frontier_np)] = np.sort(frontier_np)
+            frontier_j = _resize_frontier(frontier_j, cap, jnp.int32(n))
             t0 = time.perf_counter()
-            frontier_j, visited_next, overflow = _undirected_region_steps(
+            frontier_next, visited_next, overflow = _undirected_region_steps(
                 graph.out, graph.in_, graph.valid,
-                jnp.asarray(fr), visited_j, levels, cap,
+                frontier_j, visited_j, levels, cap,
             )
             if not bool(overflow):
                 visited_j = visited_next
-                f = np.asarray(frontier_j)
-                frontier_np = f[f < n]
+                frontier_j = frontier_next
+                count = int(jnp.sum(frontier_next < n))
                 remaining -= levels
                 done = True
                 if verbose:
                     print(
                         f"      region phase: {levels} levels cap={cap} "
-                        f"frontier={len(frontier_np)} "
+                        f"frontier={count} "
                         f"({time.perf_counter() - t0:.2f}s)",
                         flush=True,
                     )
@@ -338,15 +348,30 @@ def undirected_region_mask(
                         f"    region growth kernel overflowed at cap={cap}",
                         flush=True,
                     )
+                f = np.asarray(frontier_j)
                 reached = _unpack_bitset(np.asarray(visited_j), n)
                 return _undirected_region_mask_host(
-                    graph, frontier_np.astype(np.int64), remaining,
+                    graph, f[f < n].astype(np.int64), remaining,
                     reached=reached,
                 )
             else:
-                cap = cap * 8  # retry the same phase from pre-phase state
+                # retry the same phase (pre-phase frontier kept) bigger
+                cap = min(_bucket_size(cap * 8), _bucket_size(4 * n))
 
     return _unpack_bitset(np.asarray(visited_j), n)
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def _resize_frontier(frontier: jax.Array, new_cap: int, fill: jax.Array):
+    """Device-side frontier re-size (sorted, fill-padded at the tail)."""
+    cur = frontier.shape[0]
+    if new_cap <= cur:
+        # never truncates live entries: the caller's new_cap >= 4x the
+        # live count (which the overflow check bounds to <= cur)
+        return frontier[:new_cap]
+    return jnp.concatenate(
+        [frontier, jnp.full((new_cap - cur,), fill, frontier.dtype)]
+    )
 
 
 def _unpack_bitset(words: np.ndarray, n: int) -> np.ndarray:
