@@ -279,6 +279,8 @@ def undirected_region_mask(
     """
     from mcaat_tpu.graph.dbg import _bucket_size
 
+    import time
+
     n = graph.size
     W = (n + 31) // 32
     reached = np.zeros(n, dtype=bool)
@@ -286,6 +288,7 @@ def undirected_region_mask(
     if len(seeds) == 0:
         return reached
 
+    t_setup = time.perf_counter()
     # initial reached bitset + valid-seed frontier, built on host (tiny)
     visited_np = np.zeros(W, dtype=np.uint32)
     np.bitwise_or.at(
@@ -299,8 +302,12 @@ def undirected_region_mask(
     seeds_b[: len(seeds)] = seeds
     valid_seed = np.asarray(graph.valid[jnp.asarray(seeds_b)])[: len(seeds)]
     frontier_np = seeds[valid_seed].astype(np.int32)
-
-    import time
+    if verbose:
+        print(
+            f"      region setup: {time.perf_counter() - t_setup:.2f}s "
+            f"({len(seeds)} seeds)",
+            flush=True,
+        )
 
     # ONE upload; afterwards the frontier stays device-resident between
     # phases (re-sized with device slice/pad) — host->device uploads over
@@ -358,7 +365,15 @@ def undirected_region_mask(
                 # retry the same phase (pre-phase frontier kept) bigger
                 cap = min(_bucket_size(cap * 8), _bucket_size(4 * n))
 
-    return _unpack_bitset(np.asarray(visited_j), n)
+    t_fin = time.perf_counter()
+    res = _unpack_bitset(np.asarray(visited_j), n)
+    if verbose:
+        print(
+            f"      region finish (bitset down+unpack): "
+            f"{time.perf_counter() - t_fin:.2f}s",
+            flush=True,
+        )
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("new_cap",))

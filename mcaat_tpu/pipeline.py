@@ -173,6 +173,7 @@ def spacer_ordering_step(
         )
 
         seeds = np.asarray(sorted({n for c in cycles for n in c}), dtype=np.int64)
+        _tick("cycle-node seed set")
         mask = undirected_region_mask(graph, seeds, read_chain_len, verbose=verbose)
         _tick("region mask growth")
         graph, gids = extract_region_graph(graph, mask)
