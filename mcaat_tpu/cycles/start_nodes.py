@@ -219,14 +219,18 @@ def _self_reach_host(
 def _candidate_mask(out, in_, valid, mult, threshold_multiplicity):
     """Static candidate predicate, one fused pass (src/cycle_finder.cpp:398-411).
 
-    Jitted so no [N,4]-shaped intermediate is ever materialized (TPU pads
-    a minor dim of 4 to 128 lanes in eager op outputs).
+    Flat strided slices only — ``(out == ids4).reshape(-1, 4)`` was
+    materialized by XLA as ``u32[N,4]`` at the TPU tiled layout (minor
+    dim 4 padded to 128 lanes): 25.8 GB at 50M nodes, the r3 300M-window
+    OOM. Strided [N] slices of the flat [4N] array never pad.
     """
     from mcaat_tpu.graph.dbg import _degree
 
     indeg = _degree(in_, valid)
-    ids4 = jnp.arange(out.shape[0], dtype=jnp.int32) >> 2
-    self_loop = jnp.any((out == ids4).reshape(-1, 4), axis=1)
+    ids = jnp.arange(out.shape[0] // 4, dtype=jnp.int32)
+    self_loop = (out[0::4] == ids)
+    for b in range(1, 4):
+        self_loop = self_loop | (out[b::4] == ids)
     return valid & (indeg >= 2) & (mult > threshold_multiplicity) & ~self_loop
 
 

@@ -271,9 +271,17 @@ def _band_neighbors(
 
 @jax.jit
 def _degree(adj: jax.Array, valid: jax.Array) -> jax.Array:
-    """Valid-degree per node from a flat [4N] adjacency."""
+    """Valid-degree per node from a flat [4N] adjacency.
+
+    Summed over strided flat slices, NOT ``reshape(-1, 4)``: XLA can
+    materialize the [N,4] reshape at the TPU tiled layout (minor dim 4
+    padded to 128 lanes — 25.8 GB at 50M nodes, the r3 300M-window OOM).
+    """
     ok = (adj >= 0) & valid[jnp.maximum(adj, 0)]
-    return jnp.sum(ok.reshape(-1, 4), axis=1).astype(jnp.int32)
+    deg = ok[0::4].astype(jnp.int32)
+    for b in range(1, 4):
+        deg = deg + ok[b::4]
+    return deg
 
 
 def _edge_slots(kmers23, edges24, live, k, u_id=None):
@@ -558,7 +566,7 @@ def build_dbg_from_reads(
         codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
         lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
         add_rc = False
-    if verbose:
+    if verbose and lengths_j.size:
         _ = int(lengths_j[0])  # materialize: dispatch is async (and
         # block_until_ready is unreliable over the tunnel)
     _tick("upload")

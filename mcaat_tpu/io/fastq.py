@@ -59,46 +59,65 @@ def read_sequences(path: str) -> list[str]:
     return _read_sequences_py(path)
 
 
+def parse_fastx_chunk(chunk: bytes) -> list[str]:
+    """Parse FASTA/FASTQ records from an in-memory byte slice (must start
+    at a record boundary). Single parser shared with the file path — the
+    multi-host byte-range reader (parallel/multihost.py) uses this so
+    chunked and whole-file parsing can never diverge."""
+    import io
+
+    if not chunk:
+        return []
+    return _parse_fastx_handle(
+        io.StringIO(chunk.decode("ascii", errors="replace"))
+    )
+
+
 def _read_sequences_py(path: str) -> list[str]:
-    sequences: list[str] = []
     try:
         with _open_maybe_gzip(path) as fh:
-            first = fh.read(1)
-            if not first:
-                return sequences
-            if first == ">":
-                # FASTA (possibly multi-line sequences)
-                seq_parts: list[str] = []
-                fh.readline()  # rest of header
-                for line in fh:
-                    line = line.rstrip("\n\r")
-                    if line.startswith(">"):
-                        if seq_parts:
-                            sequences.append("".join(seq_parts))
-                            seq_parts = []
-                    elif line:
-                        seq_parts.append(line)
-                if seq_parts:
-                    sequences.append("".join(seq_parts))
-            elif first == "@":
-                # FASTQ: 4-line records
-                fh.readline()  # rest of header
-                while True:
-                    seq = fh.readline()
-                    if not seq:
-                        break
-                    sequences.append(seq.strip())
-                    plus = fh.readline()
-                    qual = fh.readline()
-                    if not plus or not qual:
-                        break
-                    header = fh.readline()
-                    if not header:
-                        break
-            else:
-                raise ValueError(f"Unrecognized FASTA/FASTQ start byte {first!r}")
+            return _parse_fastx_handle(fh)
     except Exception as e:  # parity: reference logs and returns what it has
         print(f'Error reading file "{path}" sequences because: {e}')
+        return []
+
+
+def _parse_fastx_handle(fh) -> list[str]:
+    sequences: list[str] = []
+    first = fh.read(1)
+    if not first:
+        return sequences
+    if first == ">":
+        # FASTA (possibly multi-line sequences)
+        seq_parts: list[str] = []
+        fh.readline()  # rest of header
+        for line in fh:
+            line = line.rstrip("\n\r")
+            if line.startswith(">"):
+                if seq_parts:
+                    sequences.append("".join(seq_parts))
+                    seq_parts = []
+            elif line:
+                seq_parts.append(line)
+        if seq_parts:
+            sequences.append("".join(seq_parts))
+    elif first == "@":
+        # FASTQ: 4-line records
+        fh.readline()  # rest of header
+        while True:
+            seq = fh.readline()
+            if not seq:
+                break
+            sequences.append(seq.strip())
+            plus = fh.readline()
+            qual = fh.readline()
+            if not plus or not qual:
+                break
+            header = fh.readline()
+            if not header:
+                break
+    else:
+        raise ValueError(f"Unrecognized FASTA/FASTQ start byte {first!r}")
     return sequences
 
 

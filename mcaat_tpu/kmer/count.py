@@ -505,7 +505,7 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
             u, cnt = np.asarray(u), np.asarray(cnt)
         parts.append((u, cnt, nu_i))
     if verbose:
-        if parts and not stage_host:
+        if parts and not stage_host and parts[-1][0].size:
             _ = int(jnp.asarray(parts[-1][0][0]))  # drain the tail slice
             # (each chunk's count program is already forced by int(nu))
         t1 = time.perf_counter()

@@ -62,11 +62,15 @@ def _grow_region(out, in_, valid, seed_mask, hops: int):
         fm = frontier & valid  # only valid nodes expand
         in_c = jnp.maximum(in_, 0)  # flat [4N]
         out_c = jnp.maximum(out, 0)
+        # strided flat slices, not reshape(-1, 4) — see prune._chain_collapse
         # u -> v edge with u in frontier: check v's in-list
-        from_in = jnp.any((fm[in_c] & (in_ >= 0)).reshape(-1, 4), axis=1)
         # v -> u edge with u in frontier: check v's out-list
-        from_out = jnp.any((fm[out_c] & (out >= 0)).reshape(-1, 4), axis=1)
-        hit = from_in | from_out
+        hit = (fm[in_c[0::4]] & (in_[0::4] >= 0)) | (
+            fm[out_c[0::4]] & (out[0::4] >= 0)
+        )
+        for b in range(1, 4):
+            hit = hit | (fm[in_c[b::4]] & (in_[b::4] >= 0))
+            hit = hit | (fm[out_c[b::4]] & (out[b::4] >= 0))
         new_frontier = hit & ~reached
         return reached | hit, new_frontier
 

@@ -166,37 +166,11 @@ def read_host_shard(path: str, process_id: int, num_processes: int):
     with open(path, "rb") as fh:
         fh.seek(lo)
         chunk = fh.read(hi - lo)
-    seqs = _parse_fastx_bytes(chunk)
-    return encode_sequences(seqs)
+    # same parser as the whole-file path (io/fastq._parse_fastx_handle):
+    # byte ranges are record-aligned, so a chunk is just a smaller file
+    from mcaat_tpu.io.fastq import parse_fastx_chunk
 
-
-def _parse_fastx_bytes(chunk: bytes) -> list[str]:
-    """Parse FASTA/FASTQ records from an in-memory byte slice."""
-    seqs: list[str] = []
-    if not chunk:
-        return seqs
-    text = chunk.decode("ascii", errors="replace")
-    lines = text.split("\n")
-    if chunk.lstrip()[:1] == b">":
-        cur: list[str] = []
-        for line in lines:
-            if line.startswith(">"):
-                if cur:
-                    seqs.append("".join(cur))
-                cur = []
-            elif line.strip():
-                cur.append(line.strip())
-        if cur:
-            seqs.append("".join(cur))
-        return seqs
-    i = 0
-    while i + 1 < len(lines):
-        if lines[i].startswith("@"):
-            seqs.append(lines[i + 1].strip())
-            i += 4
-        else:
-            i += 1
-    return seqs
+    return encode_sequences(parse_fastx_chunk(chunk))
 
 
 # ---------------------------------------------------------------------------

@@ -302,11 +302,15 @@ def _sharded_chain_collapse(mesh: Mesh, out: jax.Array, valid: jax.Array,
         my = jax.lax.axis_index("kp")
         vall = jax.lax.all_gather(valid_l, "kp", tiled=True)  # [kp*T]
         adj_ok = (out_l >= 0) & vall[jnp.maximum(out_l, 0)]
-        deg = jnp.sum(adj_ok.reshape(T, 4), axis=1)
+        # strided flat slices, not reshape(T, 4) — see prune._chain_collapse
+        deg = adj_ok[0::4].astype(jnp.int32)
+        succ = jnp.where(adj_ok[0::4], out_l[0::4], -1)
+        for b in range(1, 4):
+            deg = deg + adj_ok[b::4]
+            succ = jnp.maximum(succ, jnp.where(adj_ok[b::4], out_l[b::4], -1))
         ntype = jnp.where(
             ~valid_l | (deg == 0), _DEAD, jnp.where(deg == 1, _UNARY, _BRANCH)
         ).astype(jnp.int32)
-        succ = jnp.max(jnp.where(adj_ok, out_l, -1).reshape(T, 4), axis=1)
         gids = my.astype(jnp.int32) * T + jnp.arange(T, dtype=jnp.int32)
         ptr = jnp.where(ntype == _UNARY, succ, gids)
 

@@ -141,10 +141,19 @@ def _build_graph_sharded(codes, lengths, settings: Settings):
 # device program) crashed the remote TPU worker at 16.7M nodes, and the
 # host Tarjan/CSR would otherwise walk the whole graph. Tied to the cycle
 # stage's lazy-clip threshold: the condensation is also where the deferred
-# tip clip is completed (cycles/finder.LAZY_CLIP_MIN_NODES).
-from mcaat_tpu.cycles.finder import LAZY_CLIP_MIN_NODES as _LAZY_CLIP_MIN_NODES
+# tip clip is completed (cycles/finder.LAZY_CLIP_MIN_NODES). None means
+# "track finder.LAZY_CLIP_MIN_NODES at call time" so a runtime override of
+# the finder threshold (tests force lazy mode that way) keeps the
+# deferred-clip completion coupled to it.
+REGION_CONDENSE_MIN_NODES: int | None = None
 
-REGION_CONDENSE_MIN_NODES = _LAZY_CLIP_MIN_NODES
+
+def _condense_threshold() -> int:
+    from mcaat_tpu.cycles import finder as _finder
+
+    if REGION_CONDENSE_MIN_NODES is not None:
+        return REGION_CONDENSE_MIN_NODES
+    return _finder.LAZY_CLIP_MIN_NODES
 
 
 def spacer_ordering_step(
@@ -155,8 +164,10 @@ def spacer_ordering_step(
     condense_min_nodes: int | None = None,
 ) -> tuple[DBG, list[FoundSystem]]:
     """STEP 7 (≙ run_and_debug_spacer_ordering, main_run_and_debug.cpp:32-140)."""
+    from mcaat_tpu.cycles import finder as _finder
+
     if condense_min_nodes is None:
-        condense_min_nodes = REGION_CONDENSE_MIN_NODES
+        condense_min_nodes = _condense_threshold()
     found_systems: list[FoundSystem] = []
     if not reads:
         return graph, found_systems
@@ -188,16 +199,46 @@ def spacer_ordering_step(
         # lazy-clip completion (cycles/finder.LAZY_CLIP_MIN_NODES): at this
         # scale the cycle stage defers tip clipping, so clip the condensed
         # region so the region growth + SCC split below see post-clip
-        # validity. Output-preserving also when the graph was already
-        # globally clipped: locally-dead-only nodes can never belong to an
-        # SCC with >1 node (an SCC's cycle lies inside the region, so its
-        # nodes and every node on a <=read_len seed path to it reach a
-        # region-internal cycle and stay alive).
+        # validity.
+        #
+        # Output-preservation proof (vs the reference's GLOBAL clip,
+        # src/cycle_finder.cpp:346-371, which runs before its region
+        # growth src/spacer_ordering.cpp:78-139). Everything downstream
+        # consumes only the Subgraphs (SCC node sets + internal edges,
+        # ordering.divide_graph_into_subgraphs) — get_relevant_reads /
+        # get_relevant_cycles test membership of subgraph.nodes, which
+        # contain SCC-internal endpoints only. So it suffices that the
+        # SCC decomposition is identical:
+        #  1. Every reference-subgraph node lies on a directed cycle
+        #     entirely inside this region graph: it is strongly connected
+        #     within the reference's grown region, so it lies on a closed
+        #     walk of nodes ≤ read_len directed hops from a cycle seed —
+        #     all within the (undirected, pre-clip-valid, hence superset)
+        #     read_len-hop mask this graph was extracted from, and edges
+        #     between mask nodes survive the boundary truncation.
+        #  2. Nodes on region-internal cycles reach a cycle, so the clip
+        #     below keeps them: no reference SCC node is ever clipped.
+        #     Contrapositive: a region node whose only cycle-reaching
+        #     path exits the region (clipped here, globally alive in the
+        #     reference) is on no region-internal closed walk, hence in
+        #     no reference SCC either — clipping it is unobservable.
+        #  3. The growth below reaches every reference SCC node: the
+        #     reference reaches it via a ≤read_len valid path from a
+        #     seed, and each path node reaches that SCC's region-internal
+        #     cycle through the path suffix (in the mask by the same hop
+        #     bound), so it survives this clip and expands here too.
+        #     Conversely region-clip-valid ⊆ globally-valid on mask
+        #     nodes, so our reached set ⊆ the reference's; with 1-3 each
+        #     reference SCC stays strongly connected here and no new
+        #     nodes join — the decompositions coincide.
+        # Regression: tests/test_e2e.py::test_condensed_region_clip_parity
+        # constructs the rare case (peripheral in-region node whose only
+        # cycle-path exits the region, carrying an anchored read).
         from mcaat_tpu.prune.prune import clip_tips
 
         graph, _ = clip_tips(graph)
         _tick("region condense")
-    elif graph.size >= _LAZY_CLIP_MIN_NODES:
+    elif graph.size >= _finder.LAZY_CLIP_MIN_NODES:
         # a caller raised condense_min_nodes above the lazy-clip threshold:
         # the graph may carry a deferred tip clip — complete it globally so
         # the region growth below sees post-clip validity

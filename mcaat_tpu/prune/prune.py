@@ -95,9 +95,12 @@ def _chain_collapse(out: jax.Array, valid: jax.Array, n_passes: int):
         ~valid | (deg == 0), _DEAD, jnp.where(deg == 1, _UNARY, _BRANCH)
     ).astype(jnp.int32)
     adj_ok = (out >= 0) & valid[jnp.maximum(out, 0)]
-    succ = jnp.max(
-        jnp.where(adj_ok, out, -1).reshape(-1, 4), axis=1
-    )  # the unique valid successor when deg == 1
+    # strided flat slices, not reshape(-1, 4): XLA materializes the [N,4]
+    # reshape at the TPU tiled layout (4 -> 128 lanes, 32x HBM)
+    succ = jnp.where(adj_ok[0::4], out[0::4], -1)
+    for b in range(1, 4):
+        succ = jnp.maximum(succ, jnp.where(adj_ok[b::4], out[b::4], -1))
+    # (the unique valid successor when deg == 1)
     ids = jnp.arange(N, dtype=jnp.int32)
     ptr = jnp.where(ntype == _UNARY, succ, ids)
 

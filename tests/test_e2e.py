@@ -219,3 +219,75 @@ def test_lazy_clip_pipeline_parity(tmp_path):
         ) = old
     assert big.report_text == base.report_text
     assert len(big.found_systems) == len(base.found_systems) >= 1
+
+
+@pytest.mark.slow
+def test_condensed_region_clip_parity(tmp_path):
+    """ADVICE r2 medium: the condensed-region tip clip invalidates nodes
+    whose only cycle-reaching path exits the read_len region (globally
+    alive in the reference's global-clip schedule). Construct exactly
+    that — an array followed by a >read_len unique tail ending in a
+    short tandem cycle (period 8 < cycle_min_length, so never
+    enumerated/seeded) — verify the scenario materializes (the region
+    clip really kills globally-alive nodes), and assert the condensed
+    path's output equals the direct global-clip path's. See the proof at
+    pipeline.spacer_ordering_step: such nodes are in no SCC, so the
+    Subgraphs (the only thing downstream consumes) are identical."""
+    import jax.numpy as jnp
+
+    from mcaat_tpu.cycles.finder import cycles_map_to_cycles, find_cycles
+    from mcaat_tpu.cycles.neighborhood import (
+        extract_region_graph,
+        undirected_region_mask,
+    )
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.pipeline import spacer_ordering_step
+    from mcaat_tpu.prune.prune import clip_tips
+    from mcaat_tpu.reads.mapper import get_reads
+    from tests.synthetic import make_crispr_array, random_seq, sample_reads
+
+    rng = np.random.default_rng(47)
+    arr_seq, _repeat, _spacers = make_crispr_array(rng, n_spacers=5)
+    tail = random_seq(rng, 170)  # > read_len hops: exits the region
+    tandem = "ACGTGACT" * 8  # period-8 dBG cycle, len 8 < cycle_min 27
+    template = (
+        random_seq(rng, 200) + arr_seq + tail + tandem + random_seq(rng, 200)
+    )
+    reads = sample_reads(rng, template, read_len=100, coverage=40.0)
+    f1 = tmp_path / "r.fq"
+    write_fastq(str(f1), reads)
+    batch = encode_sequences(reads)
+    g = build_dbg_from_reads(batch.codes, batch.lengths, k=23)
+    g, cycles_map = find_cycles(g, verbose=False)  # global clip (small graph)
+    cycles = cycles_map_to_cycles(cycles_map)
+    reads_m = get_reads(g, str(f1), None, cycles)
+    assert reads_m and cycles
+
+    # scenario check: the region clip kills >= 1 node that is globally
+    # alive (tail nodes: in-region, only cycle-path exits to the tandem)
+    seeds = np.asarray(sorted({n for c in cycles for n in c}), dtype=np.int64)
+    mask = undirected_region_mask(g, seeds, len(reads_m[0]))
+    region, gids = extract_region_graph(g, mask)
+    region_clipped, n_clipped = clip_tips(region)
+    assert n_clipped > 0
+    killed_local = np.asarray(region.valid) & ~np.asarray(region_clipped.valid)
+    killed_global = gids[np.nonzero(killed_local)[0]]
+    g_valid = np.asarray(g.valid)
+    assert g_valid[killed_global].any(), (
+        "expected a region-clipped node that the global clip keeps"
+    )
+
+    _g1, sys_direct = spacer_ordering_step(
+        g, reads_m, cycles, verbose=False, condense_min_nodes=10**12
+    )
+    _g2, sys_cond = spacer_ordering_step(
+        g, reads_m, cycles, verbose=False, condense_min_nodes=0
+    )
+    assert len(sys_direct) == len(sys_cond) >= 1
+    for a, b in zip(sys_cond, sys_direct):
+        assert a.full_sequence == b.full_sequence
+        assert a.repeat == b.repeat
+        assert a.spacers == b.spacers
+        assert a.confidence_cycle_resolution == b.confidence_cycle_resolution
+        assert a.confidence_topological_sort == b.confidence_topological_sort

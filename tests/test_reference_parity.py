@@ -13,6 +13,18 @@ Canonicalization (SURVEY §7.3 risk 2): the reference iterates
 unordered_map/unordered_set when emitting systems and spacers, so block
 order and in-block spacer order are hash-order artifacts. Reports are
 compared as {repeat: set(spacers)} plus the footer counters.
+
+Scope of the parity claim: the driver pins ``threads=1``
+(ref_driver.cpp) — the reference's multi-threaded output is
+schedule-dependent (shared ``visited`` races decide which start nodes
+are suppressed, src/cycle_finder.cpp:217-223,476), so only its
+deterministic single-thread schedule is a comparable oracle.
+
+Security note: this harness COMPILES AND EXECUTES unmodified sources
+from /root/reference (untrusted public content) with the test runner's
+privileges. That is inherent to a true-parity oracle; the tests are
+opt-in (@slow, auto-skip when the tree or compiler is absent) — do not
+point MCAAT_REFERENCE_DIR at a tree you have not reviewed.
 """
 
 from __future__ import annotations
