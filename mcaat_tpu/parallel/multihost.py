@@ -178,42 +178,50 @@ def read_host_shard(path: str, process_id: int, num_processes: int):
 # ---------------------------------------------------------------------------
 
 
+def make_global_mesh():
+    """("dp", "kp") mesh over ALL processes' devices with kp as large a
+    power of two as possible — in the common pow2-device-count case
+    dp=1 and the k-mer space radix-partitions over every chip of every
+    host, so per-process graph memory is O(N / total_chips). jax.devices()
+    orders by process, so each host's devices are contiguous along kp and
+    the intra-host portion of the kp all_to_all rides ICI."""
+    import jax
+
+    from mcaat_tpu.parallel.sharded import make_pipeline_mesh
+
+    return make_pipeline_mesh(jax.devices())
+
+
 def run_pipeline_multihost(settings, verbose: bool = True):
-    """Full pipeline across jax.distributed processes.
+    """Full pipeline across jax.distributed processes — graph SHARDED
+    over every host's devices end to end (no replication, no full-graph
+    compaction).
 
-    The memory/compute-heavy graph build runs distributed over the
-    host×chip mesh (each host streams its own record range of the input
-    files and routes k-mers over the global kp axis); the built graph is
-    then replicated to every host, and the downstream stages (cycle
-    search, read mapping, ordering, report) run host-locally. Only
-    process 0 writes outputs; the others park at the final barrier.
+    The build distributes over the global ("dp","kp") mesh (each host
+    streams only its own record range of the input files; k-mers route
+    to owner shards over kp, which spans hosts). The downstream then
+    runs through ``run_sharded_downstream``: every process replays the
+    identical host orchestration over the same collectives, so per-host
+    memory stays O(N/total_chips) on device plus the two CRISPR-content-
+    sized compactions (candidate neighborhood, cycle region) on host.
+    Process 0 writes the report; all processes compute identical results.
 
-    This is the reference's scale story inverted: where the OpenMP
-    binary needs one node's RAM to hold the whole build (readme.md:15,
-    3h for 1B nodes), the build here spreads over all hosts' HBM. Full
-    sharded-downstream execution across processes (no replication) is
-    the single-process path in parallel/sharded_pipeline.py; its host
-    orchestration is process-local for now.
-
-    Returns a PipelineResult on process 0, None on other processes.
+    This is the reference's scale story inverted: the OpenMP binary
+    needs one node's RAM for the whole graph (readme.md:15, 3h for 1B
+    nodes); here no host ever materializes more than its k-mer-space
+    shard. Returns a PipelineResult on process 0, None on the others.
     """
     import jax
-    import jax.numpy as jnp
     from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mcaat_tpu.graph.dbg import _bucket_size
     from mcaat_tpu.io.fastq import ReadBatch, reverse_complement_batch
-    from mcaat_tpu.kmer.count import SENTINEL
-    from mcaat_tpu.parallel.sharded_graph import (
-        ShardedDBG,
-        build_sharded_dbg,
-        sharded_dbg_to_dbg,
-    )
+    from mcaat_tpu.parallel.sharded_graph import build_sharded_dbg
+    from mcaat_tpu.parallel.sharded_pipeline import run_sharded_downstream
 
     pid = jax.process_index()
     n_proc = jax.process_count()
-    mesh = make_host_mesh()
+    mesh = make_global_mesh()
 
     # per-host record ranges of every input file
     batches = []
@@ -257,74 +265,15 @@ def run_pipeline_multihost(settings, verbose: bool = True):
         raise RuntimeError("multi-host sharded build overflowed its capacities")
     if verbose and pid == 0:
         print(f"Multi-host graph built over {dict(mesh.shape)} "
-              f"({n_proc} processes)")
+              f"({n_proc} processes, sharded — no replication)")
 
-    # replicate the (built) graph to every host, then compact locally
-    rep = jax.jit(
-        lambda *a: a, out_shardings=NamedSharding(mesh, P())
-    )(sg.kmers, sg.mult, sg.out, sg.in_)
-    sg_rep = ShardedDBG(
-        k=k, mesh=mesh,
-        kmers=jnp.asarray(np.asarray(rep[0])),
-        mult=jnp.asarray(np.asarray(rep[1])),
-        out=jnp.asarray(np.asarray(rep[2])),
-        in_=jnp.asarray(np.asarray(rep[3])),
-        valid=jnp.asarray(np.asarray(rep[0]) != SENTINEL),
+    # sharded downstream across processes: every process replays the same
+    # host loop; process 0 writes + reports
+    result = run_sharded_downstream(
+        sg, settings, verbose=verbose and pid == 0, write_report=pid == 0
     )
-    graph = sharded_dbg_to_dbg(sg_rep)
-
-    result = None
-    if pid == 0:
-        result = _downstream_from_graph(settings, graph, verbose=verbose)
     multihost_utils.sync_global_devices("mcaat_pipeline_end")
-    return result
-
-
-def _downstream_from_graph(settings, graph, verbose: bool = True):
-    """Single-host pipeline stages after an externally-built graph."""
-    import time as _time
-
-    from mcaat_tpu.cycles.finder import cycles_map_to_cycles, find_cycles
-    from mcaat_tpu.pipeline import (
-        PipelineResult,
-        benchmark_results,
-        print_results,
-        spacer_ordering_step,
-    )
-    from mcaat_tpu.reads.mapper import get_reads
-    from mcaat_tpu.report.analyzer import CRISPRAnalyzer
-
-    t0 = _time.time()
-    result = PipelineResult()
-    result.graph = graph
-    cfs = settings.cycle_finder_settings
-    graph, cycles_map = find_cycles(
-        graph,
-        threshold_multiplicity=cfs.threshold_multiplicity,
-        cycle_min_length=cfs.cycle_min_length,
-        cycle_max_length=cfs.cycle_max_length,
-        verbose=verbose,
-    )
-    result.cycles_map = cycles_map
-    result.cycles = cycles_map_to_cycles(cycles_map)
-    f1, f2 = settings.fastq_files()
-    reads = get_reads(graph, f1, f2, result.cycles)
-    result.reads = reads
-    graph, found_systems = spacer_ordering_step(graph, reads, result.cycles, verbose)
-    result.graph = graph
-    result.found_systems = found_systems
-    if settings.benchmark_file:
-        benchmark_results(settings, found_systems)
-    elif verbose:
-        print_results(found_systems)
-    all_systems = {fs.repeat: fs.spacers for fs in found_systems}
-    analyzer = CRISPRAnalyzer(
-        all_systems, settings.output_file or "CRISPR_Arrays.txt"
-    )
-    result.report_text = analyzer.run_analysis()
-    if verbose:
-        print(f"Saved in: {analyzer.output_path} ({_time.time() - t0:.2f}s)")
-    return result
+    return result if pid == 0 else None
 
 
 def host_local_rows_to_global(mesh, codes: np.ndarray, lengths: np.ndarray):

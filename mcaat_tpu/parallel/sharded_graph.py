@@ -42,6 +42,40 @@ from mcaat_tpu.parallel.sharded import _bucket_by_owner, _owner_shift
 shard_map = jax.shard_map
 
 
+@functools.lru_cache(maxsize=None)
+def _replicator(mesh: Mesh):
+    from jax.sharding import NamedSharding
+
+    return jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+
+def host_replicated(mesh: Mesh, x) -> np.ndarray:
+    """Host numpy view of a mesh-sharded array, valid across processes.
+
+    Single-process: plain ``np.asarray`` (every shard is addressable).
+    Multi-process: a kp-sharded array is NOT fully addressable, so one
+    jitted identity with replicated out_sharding all-gathers it first —
+    every process executes this (the host orchestration loops are
+    replicated across processes by design). Use only for O(N)-bounded
+    masks/ids, never for adjacency-sized arrays.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    return np.asarray(_replicator(mesh)(x))
+
+
+def global_input(x):
+    """Make a device array safe to pass into a multi-process mesh program.
+
+    Arrays produced by process-local jits are committed to local devices;
+    multi-process jit rejects them. A host round-trip makes the value an
+    uncommitted (replicatable) input again. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return x
+    return np.asarray(x)
+
+
 @dataclass
 class ShardedDBG:
     """Per-shard arrays; leading axis is the kp shard."""
@@ -374,12 +408,14 @@ def sharded_prune_and_candidates(
     valid0_f = valid0.reshape(-1)
     cond = _condensed_slots(out_f, valid0_f, ntype_f, ptr_f)  # [4N] device
 
-    branch = np.nonzero(np.asarray(ntype_f == _BRANCH))[0].astype(np.int64)
+    branch = np.nonzero(host_replicated(mesh, ntype_f == _BRANCH))[0].astype(
+        np.int64
+    )
     alive = np.zeros(N, dtype=bool)
     if len(branch) > 0:
         sel = jnp.asarray(branch)
         slots = (sel * 4)[:, None] + jnp.arange(4, dtype=sel.dtype)
-        cond_h = np.asarray(cond[slots])  # [B,4] — only branch rows cross
+        cond_h = host_replicated(mesh, cond[slots])  # [B,4] — only branch rows cross
         of_node = np.full(N, -1, dtype=np.int64)
         of_node[branch] = np.arange(len(branch))
         tgt = np.where(cond_h >= 0, of_node[np.maximum(cond_h, 0)], -1)
@@ -393,7 +429,7 @@ def sharded_prune_and_candidates(
             a = new_a
         alive[branch] = a
 
-    v = _final_valid(valid0_f, ntype_f, ptr_f, jnp.asarray(alive))
+    v = _final_valid(valid0_f, ntype_f, ptr_f, alive)
     cand = _candidate_mask(
         out_f, in_f, v, mult.reshape(-1), threshold_multiplicity
     )

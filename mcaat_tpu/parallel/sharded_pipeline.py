@@ -48,6 +48,7 @@ from mcaat_tpu.parallel.sharded_graph import (
     ShardedDBG,
     build_sharded_dbg,
     frontier_step,
+    host_replicated,
     sharded_prune_and_candidates,
 )
 
@@ -72,7 +73,7 @@ def sharded_touched_mask(
     """
     kp, T = sg.kmers.shape
     N = kp * T
-    valid_h = np.asarray(valid).reshape(-1)
+    valid_h = host_replicated(sg.mesh, valid).reshape(-1)
     visited = np.zeros(N, dtype=bool)
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
     seeds = seeds[valid_h[seeds]]
@@ -106,10 +107,19 @@ def sharded_region_mask(
     join the reached set but only valid nodes expand (≙ the reference's
     keep_crispr_regions_extended_by_k, src/spacer_ordering.cpp:96-129).
     """
+    import jax as _jax
+
     kp, T = sg.kmers.shape
     N = kp * T
-    valid_h = np.asarray(valid).reshape(-1)
-    ones = jnp.ones((kp, T), dtype=bool)  # raw neighbors — no target filter
+    valid_h = host_replicated(sg.mesh, valid).reshape(-1)
+    # raw neighbors — no target filter. numpy in multi-process: a device
+    # array from a local computation is committed and rejected by the
+    # mesh-spanning program
+    ones = (
+        jnp.ones((kp, T), dtype=bool)
+        if _jax.process_count() == 1
+        else np.ones((kp, T), dtype=bool)
+    )
     reached = np.zeros(N, dtype=bool)
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
     reached[seeds] = True
@@ -163,11 +173,11 @@ def extract_sharded_subgraph(
         )
         return empty, gids
     sel = jnp.asarray(gids)
-    kmers = np.asarray(sg.kmers.reshape(-1)[sel])
-    mult = np.asarray(sg.mult.reshape(-1)[sel])
-    valid_sel = np.asarray(valid.reshape(-1)[sel])
-    out_rows = np.asarray(_gather_rows(sg.out.reshape(-1), sel))
-    in_rows = np.asarray(_gather_rows(sg.in_.reshape(-1), sel))
+    kmers = host_replicated(sg.mesh, sg.kmers.reshape(-1)[sel])
+    mult = host_replicated(sg.mesh, sg.mult.reshape(-1)[sel])
+    valid_sel = host_replicated(sg.mesh, valid.reshape(-1)[sel])
+    out_rows = host_replicated(sg.mesh, _gather_rows(sg.out.reshape(-1), sel))
+    in_rows = host_replicated(sg.mesh, _gather_rows(sg.in_.reshape(-1), sel))
     graph = DBG(
         k=sg.k,
         kmers=jnp.asarray(kmers),
@@ -204,7 +214,7 @@ def sharded_find_cycles(
         sg.mesh, sg.mult, sg.out, sg.in_, sg.valid,
         threshold_multiplicity=threshold_multiplicity,
     )
-    cand_ids = np.nonzero(np.asarray(cand).reshape(-1))[0]
+    cand_ids = np.nonzero(host_replicated(sg.mesh, cand).reshape(-1))[0]
     if verbose:
         print(f"ChunkStartNodes: {len(cand_ids)} candidates pass the static filter")
     if len(cand_ids) == 0:
@@ -274,13 +284,23 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
     per-owner share; skewed k-mer distributions (low-complexity reads)
     can route everything to one shard, so a dropped count retries with
     doubled capacity rather than silently losing lookups."""
+    import jax as _jax
+
     kp, T = sg.kmers.shape
     shift = _owner_shift(sg.k, kp)
     dp = sg.mesh.shape["dp"]
     n_dev = dp * kp
     Q = flat.shape[0]
     Q_pad = (Q + n_dev - 1) // n_dev * n_dev
-    if Q_pad > Q:
+    if _jax.process_count() > 1:
+        # committed local arrays are rejected by the mesh-spanning
+        # program; hand off through host (identical on every process)
+        flat = np.asarray(flat)
+        if Q_pad > Q:
+            flat = np.concatenate(
+                [flat, np.full((Q_pad - Q,), SENTINEL, dtype=flat.dtype)]
+            )
+    elif Q_pad > Q:
         flat = jnp.concatenate(
             [flat, jnp.full((Q_pad - Q,), SENTINEL, dtype=flat.dtype)]
         )
@@ -293,7 +313,7 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
         if int(dropped) == 0 or route_cap >= per_shard:
             break
         route_cap = min(_bucket_size(route_cap * 2), _bucket_size(per_shard))
-    idx = np.asarray(idx)[:Q]
+    idx = host_replicated(sg.mesh, idx)[:Q]
     owner = np.asarray(flat[:Q] >> shift).astype(np.int64)
     return np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)
 
@@ -389,6 +409,117 @@ def condense_region(
     # invalid — inside the compact graph that is every remaining row
     cycles_c, reads_c = remap_chains(gids, cycles, reads)
     return region, cycles_c, reads_c
+
+
+# ---------------------------------------------------------------------------
+# The full downstream over a sharded graph (single- OR multi-process)
+# ---------------------------------------------------------------------------
+
+
+def run_sharded_downstream(
+    sg: ShardedDBG,
+    settings,
+    verbose: bool = True,
+    write_report: bool = True,
+    profiler=None,
+):
+    """Pipeline stages after a sharded build: distributed prune/candidate
+    scan → neighborhood-compacted cycle enumeration → routed read mapping
+    → region condensation → host ordering → report.
+
+    Multi-process contract: every process calls this with the same
+    ``sg``/``settings``. The host orchestration (frontier loops,
+    candidate fixpoints, combinatorics) is REPLICATED — each process
+    executes the identical loop, so every collective program is entered
+    by all processes in the same order, and the computed
+    ``PipelineResult`` is identical everywhere. Only a caller-designated
+    process should ``write_report`` (the others compute the same report
+    text against os.devnull).
+
+    ≙ the reference release main() from the CycleFinder call on
+    (src/main.cpp:536-591) with the whole-graph stages distributed.
+    """
+    import os
+    import time
+
+    from mcaat_tpu.cycles.finder import cycles_map_to_cycles
+    from mcaat_tpu.pipeline import (
+        PipelineResult,
+        benchmark_results,
+        print_results,
+        spacer_ordering_step,
+    )
+    from mcaat_tpu.report.analyzer import CRISPRAnalyzer
+    from mcaat_tpu.utils.profiling import Profiler
+
+    prof = profiler if profiler is not None else Profiler()
+    t0 = time.time()
+    result = PipelineResult()
+    cfs = settings.cycle_finder_settings
+
+    with prof.stage("cycle_search"):
+        valid, cycles_map = sharded_find_cycles(
+            sg,
+            threshold_multiplicity=cfs.threshold_multiplicity,
+            cycle_min_length=cfs.cycle_min_length,
+            cycle_max_length=cfs.cycle_max_length,
+            verbose=verbose,
+        )
+    prof.count("cycle_search", start_nodes=len(cycles_map))
+    result.cycles_map = cycles_map
+    result.cycles = cycles_map_to_cycles(cycles_map)
+    if verbose:
+        print(f"Number of nodes in results: {len(cycles_map)}")
+        print("🔸STEP 6: Finding relevant reads")
+
+    f1, f2 = settings.fastq_files()
+    with prof.stage("read_mapping"):
+        reads = sharded_get_reads(sg, f1, f2, result.cycles)
+    prof.count("read_mapping", reads=len(reads))
+    result.reads = reads
+    if verbose:
+        print(f"    ▸ Found {len(reads)} reads")
+        print("🔸STEP 7: Order the spacers")
+
+    read_chain_len = len(reads[0]) if reads else 0
+    with prof.stage("spacer_ordering"):
+        region, cycles_c, reads_c = condense_region(
+            sg, valid, result.cycles, reads, read_chain_len
+        )
+        graph, found_systems = spacer_ordering_step(
+            region, reads_c, cycles_c, verbose
+        )
+    prof.count("spacer_ordering", systems=len(found_systems))
+    result.graph = graph
+    result.found_systems = found_systems
+
+    if settings.benchmark_file:
+        if verbose:
+            print("🔸STEP 8: Compare to ground of truth using benchmark file")
+        if write_report:
+            benchmark_results(settings, found_systems)
+    elif verbose:
+        print("🔸STEP 8: Results")
+        print_results(found_systems)
+
+    all_systems: dict[str, list[str]] = {}
+    for fs in found_systems:
+        all_systems[fs.repeat] = fs.spacers
+    out_path = (
+        (settings.output_file or "CRISPR_Arrays.txt")
+        if write_report
+        else os.devnull
+    )
+    analyzer = CRISPRAnalyzer(all_systems, out_path)
+    with prof.stage("report"):
+        result.report_text = analyzer.run_analysis()
+    result.profile = prof
+    if verbose:
+        print(f"Saved in: {analyzer.output_path}")
+        print("Stage timings:")
+        print(prof.report())
+        print(f"Downstream time: {time.time() - t0:.2f}s")
+    return result
 
 
 # ---------------------------------------------------------------------------

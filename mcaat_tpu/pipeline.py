@@ -470,16 +470,12 @@ def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
     """
     from mcaat_tpu.parallel.sharded_pipeline import (
         build_sharded_graph_for_pipeline,
-        condense_region,
-        sharded_find_cycles,
-        sharded_get_reads,
+        run_sharded_downstream,
     )
     from mcaat_tpu.utils.profiling import Profiler
 
     prof = Profiler()
-    result = PipelineResult()
     t0 = time.time()
-    cfs = settings.cycle_finder_settings
 
     codes, lengths = _load_input_codes(settings)
     with prof.stage("graph_build"):
@@ -491,62 +487,8 @@ def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
             f"Graph built (sharded over {dict(sg.mesh.shape)}): "
             f"capacity {sg.kmers.size} rows ({time.time() - t0:.2f}s)"
         )
-
-    with prof.stage("cycle_search"):
-        valid, cycles_map = sharded_find_cycles(
-            sg,
-            threshold_multiplicity=cfs.threshold_multiplicity,
-            cycle_min_length=cfs.cycle_min_length,
-            cycle_max_length=cfs.cycle_max_length,
-            verbose=verbose,
-        )
-    prof.count("cycle_search", start_nodes=len(cycles_map))
-    result.cycles_map = cycles_map
-    result.cycles = cycles_map_to_cycles(cycles_map)
+    result = run_sharded_downstream(sg, settings, verbose=verbose, profiler=prof)
     if verbose:
-        print(f"Number of nodes in results: {len(cycles_map)}")
-        print("🔸STEP 6: Finding relevant reads")
-
-    f1, f2 = settings.fastq_files()
-    with prof.stage("read_mapping"):
-        reads = sharded_get_reads(sg, f1, f2, result.cycles)
-    prof.count("read_mapping", reads=len(reads))
-    result.reads = reads
-    if verbose:
-        print(f"    ▸ Found {len(reads)} reads")
-        print("🔸STEP 7: Order the spacers")
-
-    read_chain_len = len(reads[0]) if reads else 0
-    with prof.stage("spacer_ordering"):
-        region, cycles_c, reads_c = condense_region(
-            sg, valid, result.cycles, reads, read_chain_len
-        )
-        graph, found_systems = spacer_ordering_step(
-            region, reads_c, cycles_c, verbose
-        )
-    prof.count("spacer_ordering", systems=len(found_systems))
-    result.graph = graph
-    result.found_systems = found_systems
-
-    if settings.benchmark_file:
-        if verbose:
-            print("🔸STEP 8: Compare to ground of truth using benchmark file")
-        benchmark_results(settings, found_systems)
-    elif verbose:
-        print("🔸STEP 8: Results")
-        print_results(found_systems)
-
-    all_systems: dict[str, list[str]] = {}
-    for fs in found_systems:
-        all_systems[fs.repeat] = fs.spacers
-    analyzer = CRISPRAnalyzer(all_systems, settings.output_file or "CRISPR_Arrays.txt")
-    with prof.stage("report"):
-        result.report_text = analyzer.run_analysis()
-    result.profile = prof
-    if verbose:
-        print(f"Saved in: {analyzer.output_path}")
-        print("Stage timings:")
-        print(prof.report())
         print(f"Total time: {time.time() - t0:.2f}s")
     return result
 
