@@ -76,12 +76,47 @@ def _load() -> Optional[ctypes.CDLL]:
         c.POINTER(c.c_char_p),
         c.POINTER(c.c_int64),
     ]
+    if hasattr(lib, "mcaat_umap_order"):  # older .so builds lack it
+        lib.mcaat_umap_order.restype = c.c_int64
+        lib.mcaat_umap_order.argtypes = [
+            c.c_char_p,
+            c.POINTER(c.c_int64),
+            c.c_int64,
+            c.POINTER(c.c_int64),
+        ]
     _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def umap_order(keys: list[str]):
+    """Indices permuting ``keys`` (first-seen order) into libstdc++
+    ``unordered_map`` iteration order — the order the reference's
+    common-kmer candidate lists come out in (post_processing.h:50-63),
+    which its spacer trim / repeat reconstruction depend on. Returns None
+    when the native library is unavailable (callers keep first-seen
+    order; see report/analyzer._get_common_kmers for the divergence
+    note)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mcaat_umap_order") or not keys:
+        return None
+    c = ctypes
+    buf = "".join(keys).encode("ascii")
+    offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum([len(k) for k in keys], out=offsets[1:])
+    order = np.zeros(len(keys), dtype=np.int64)
+    n = lib.mcaat_umap_order(
+        buf,
+        offsets.ctypes.data_as(c.POINTER(c.c_int64)),
+        len(keys),
+        order.ctypes.data_as(c.POINTER(c.c_int64)),
+    )
+    if int(n) != len(keys):
+        return None
+    return order.tolist()
 
 
 def parse_fastx_batch(path: str):

@@ -87,6 +87,7 @@ class ShardedDBG:
     out: jax.Array  # int32 [kp, 4T] flat GLOBAL node ids, -1 absent
     in_: jax.Array  # int32 [kp, 4T] flat GLOBAL node ids, -1 absent
     valid: jax.Array  # bool  [kp, T]
+    route_cap: int = 0  # all_to_all bucket capacity the build used
     # adjacency is flat (slot 4*local+base): a materialized [T,4] int32
     # buffer on TPU pads the minor dim 4 -> 128 lanes (32x HBM)
 
@@ -305,7 +306,7 @@ def build_sharded_dbg(
     )
     graph = ShardedDBG(
         k=k, mesh=mesh, kmers=kmers, mult=mult, out=out, in_=in_,
-        valid=kmers != SENTINEL,
+        valid=kmers != SENTINEL, route_cap=route_cap,
     )
     return graph, int(dropped)
 

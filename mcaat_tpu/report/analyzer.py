@@ -60,11 +60,33 @@ class CRISPRAnalyzer:
     def _get_common_kmers(
         self, kmers: list[str], sequences: list[str]
     ) -> list[str]:
+        """Common candidates in the REFERENCE's list order.
+
+        The reference returns them in ``unordered_map`` iteration order
+        (post_processing.h:50-63), and with NESTED candidates (e.g. "T"
+        and "TA" both ≥75%-common — mutated-repeat inputs produce this)
+        that hash-order artifact decides which prefix each spacer trims
+        first and which candidate ``reconstruct_repeat`` appends. For
+        exact report parity the native layer replays the iteration order
+        with the same libstdc++ container (native.umap_order); without
+        the native library we fall back to deterministic first-seen
+        order, which can differ from the reference exactly when nested
+        candidates tie (tests/test_reference_parity.py::
+        test_report_parity_mutated_repeats pins the parity)."""
         count: dict[str, int] = {}
         for km in kmers:
             count[km] = count.get(km, 0) + 1
         threshold = int(len(sequences) * 0.75)
-        return [km for km, c in count.items() if c >= threshold]
+        uniq = list(count.keys())  # first-seen order (fallback)
+        try:
+            from mcaat_tpu.native import umap_order
+
+            order = umap_order(uniq)
+            if order is not None:
+                uniq = [uniq[i] for i in order]
+        except ImportError:
+            pass
+        return [km for km in uniq if count[km] >= threshold]
 
     def find_common_prefix_kmers(self, sequences: list[str], k: int) -> list[str]:
         kmers = []

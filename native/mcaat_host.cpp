@@ -546,4 +546,27 @@ int mcaat_poa_consensus(const char* buf, const int64_t* offsets,
   return 0;
 }
 
+// Reproduce the reference's unordered_map<string,int> ITERATION ORDER for
+// the analyzer's common-kmer candidate lists (reference
+// include/post_processing.h:50-63): with nested candidates (e.g. "T" and
+// "TA" both common), the reference's spacer trim picks the FIRST match in
+// map iteration order and reconstruct_repeat appends prefixes.back() —
+// both hash-order artifacts. Exact report parity therefore requires
+// replaying that order with the same libstdc++ container this library is
+// compiled against. Input: the unique keys in first-seen order (duplicate
+// operator[] hits never move a node, so the multiset collapses to this);
+// output: order_out[i] = input index of the i-th key in map iteration
+// order. Returns the key count.
+int64_t mcaat_umap_order(const char* buf, const int64_t* offsets,
+                         int64_t n_keys, int64_t* order_out) {
+  std::unordered_map<std::string, int64_t> m;
+  for (int64_t i = 0; i < n_keys; ++i) {
+    std::string k(buf + offsets[i], (size_t)(offsets[i + 1] - offsets[i]));
+    m.emplace(std::move(k), i);  // same insertion schedule as count[kmer]++
+  }
+  int64_t j = 0;
+  for (const auto& p : m) order_out[j++] = p.second;
+  return j;
+}
+
 }  // extern "C"

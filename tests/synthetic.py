@@ -88,3 +88,55 @@ def write_fasta(path: str, reads: list[str]) -> None:
     with open(path, "w") as fh:
         for i, seq in enumerate(reads):
             fh.write(f">read{i}\n{seq}\n")
+
+
+def make_bubble_tandem(
+    rng: np.random.Generator,
+    n_copies: int = 120,
+    unit_len: int = 72,
+    site_positions: tuple = (0, 24, 48),
+    n_alleles: int = 8,
+) -> str:
+    """Tandem repeat whose dBG cycle carries three independent 2-base
+    bubble sites with 8 alleles each: 8^3 = 512 distinct simple cycles of
+    length 72 (> the reference's hardcoded cluster_bounds = 500,
+    /root/reference/src/cycle_finder.cpp:132) — the >500-cycle tangle
+    fixture. Sites are >= 24 bp apart (incl. the wrap) so no 23-window
+    covers two sites and the bubbles stay independent; shared-node to
+    allele-node multiplicity ratio is ~n_alleles << 500, so the
+    reference's _BackgroundCheck admits every branch."""
+    alleles = ["AA", "AC", "AG", "AT", "CA", "CC", "CG", "CT"][:n_alleles]
+    base = random_seq(rng, unit_len)
+    copies = []
+    for _ in range(n_copies):
+        u = list(base)
+        for p in site_positions:
+            a = alleles[int(rng.integers(0, n_alleles))]
+            u[p : p + 2] = a
+        copies.append("".join(u))
+    return "".join(copies)
+
+
+def make_mutated_repeat_array(
+    rng: np.random.Generator,
+    n_spacers: int = 6,
+    repeat_len: int = 30,
+    spacer_len: int = 34,
+    mutation_prob: float = 0.5,
+) -> tuple[str, str, list[str]]:
+    """CRISPR array whose repeat COPIES carry independent point mutations
+    (the reference's repeat extension tolerates single-base divergence,
+    /root/reference/src/tmp_utils.cpp:212-264). Returns
+    (array_sequence, consensus_repeat, spacers)."""
+    repeat = random_seq(rng, repeat_len)
+    spacers = [random_seq(rng, spacer_len) for _ in range(n_spacers)]
+    parts = []
+    for i in range(n_spacers + 1):
+        copy = list(repeat)
+        if rng.random() < mutation_prob:
+            p = int(rng.integers(0, repeat_len))
+            copy[p] = "ACGT"[(("ACGT".index(copy[p])) + 1 + int(rng.integers(0, 3))) % 4]
+        parts.append("".join(copy))
+        if i < n_spacers:
+            parts.append(spacers[i])
+    return "".join(parts), repeat, spacers

@@ -57,13 +57,18 @@ def test_report_common_prefix_extends_repeat(tmp_path):
     an = make_analyzer({repeat: spacers}, tmp_path)
     text = an.run_analysis()
     assert "Number of Systems: 1" in text
-    # Reference quirk (post_processing.h:158-165,230-246): the repeat is
-    # extended by the *last* common prefix k-mer while spacers are trimmed
-    # by the *first* matching one ("T"), and the cascade runs twice — so
-    # the reported repeat gains "TCA" and each spacer loses "TT".
-    assert repeat + "TCA" in text
+    # Reference behavior (post_processing.h:158-165,230-246), replayed
+    # candidate order included (native.umap_order): for this input the
+    # unordered_map iterates the nested candidates longest-first, so pass
+    # 1 trims the whole "TTCA" from every spacer; pass 2 then finds no
+    # common prefix on the diverse cores and reconstructs from the
+    # ORIGINAL repeat (the reference rebuilds from `pair.first`, not the
+    # pass-1 result) — the reported repeat is unchanged and the spacers
+    # are the bare cores.
+    assert repeat in text
     for s in core:
-        assert "CA" + s in text
+        assert s in text
+        assert "TTCA" + s not in text
 
 
 def test_parse_input_roundtrip(tmp_path):
