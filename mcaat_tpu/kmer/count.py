@@ -359,50 +359,70 @@ def _bucket_slice(u: jax.Array, c: jax.Array, n: int):
     return u, c, size
 
 
-# Above this many cumulative part bytes the chunked counters stage parts
-# on host between merges (bounding device peak); below it parts stay
-# device-resident — host round-trips over the remote-TPU tunnel cost more
-# than the HBM they save.
-STAGE_HOST_BYTES = 3 << 30
+# Cumulative ACTUAL bucketed part bytes the chunked counters keep
+# device-resident. Parts spill to host (oldest first) only past this —
+# host round-trips over the remote-TPU tunnel run at tens of MB/s, so an
+# up-front "stage everything" policy keyed on the window-count UPPER
+# bound (r2) made the 302M-window build transfer-dominated (143s of the
+# 207s warm run) even though the actual tables totalled ~3 GB.
+DEVICE_PARTS_BUDGET = 4 << 30
 
 
-def _tree_merge_counted(parts, stage_host: bool = False):
-    """Pairwise tree merge of (unique, counts, n) parts.
+def _part_nbytes(u) -> int:
+    """(int64 key + int32 count) bytes of one bucketed part."""
+    return int(u.shape[0]) * 12
 
-    A linear accumulate-merge chain re-sorts the growing accumulator per
-    chunk — O(K²·C) sorted rows for K chunks (measured 12x slower than
-    single-pass at 62M windows). The tree does O(K·C·log K). With
-    ``stage_host`` parts live on HOST between merges so device peak is two
-    inputs + merge buffers, not all K chunk tables (only worth it when the
-    tables are a large fraction of HBM). A flat concat-all + single-sort
-    merge was tried (r2) and measured SLOWER at 6x16.7M parts (3.0s vs
-    2.6s): chunk tables overlap heavily on high-coverage data, so the
-    tree's intermediate bucket-sliced dedup sorts fewer total rows than
-    one full-width sort.
+
+def _merge_two(a, b):
+    """Merge two (u, c, n, level) stack entries -> one at level+1."""
+    ua, ca, _na, la = a
+    ub, cb, _nb, lb = b
+    mu, mc, mn = merge_counted(
+        jnp.asarray(ua), jnp.asarray(ca), jnp.asarray(ub), jnp.asarray(cb)
+    )
+    mn_i = int(mn)
+    mu, mc, _ = _bucket_slice(mu, mc, mn_i)
+    return [mu, mc, mn_i, max(la, lb) + 1]
+
+
+def _merge_stack_push(stack, u, cnt, n_i):
+    """Push one chunk table onto a binary-counter merge stack.
+
+    Equal-level neighbors merge immediately (mergesort's binary counter),
+    so at most ~log2(K) parts are ever alive — the same pairwise tree as
+    r2's post-hoc `_tree_merge_counted` (O(K·C·log K) sorted rows; a
+    linear accumulate chain measured 12x slower at 62M windows, a flat
+    concat-all merge 15% slower at 6x16.7M parts), but interleaved with
+    the chunk counts so parts never pile up. Parts stay device-resident;
+    when the live set's ACTUAL bytes exceed DEVICE_PARTS_BUDGET the
+    oldest parts spill to host numpy (re-uploaded at their merge).
     """
-    if not parts:
-        return (
-            jnp.zeros((0,), jnp.int64),
-            jnp.zeros((0,), jnp.int32),
-            0,
-        )
-    while len(parts) > 1:
-        nxt = []
-        for i in range(0, len(parts) - 1, 2):
-            ua, ca, _na = parts[i]
-            ub, cb, _nb = parts[i + 1]
-            mu, mc, mn = merge_counted(
-                jnp.asarray(ua), jnp.asarray(ca), jnp.asarray(ub), jnp.asarray(cb)
-            )
-            mn_i = int(mn)
-            mu, mc, _ = _bucket_slice(mu, mc, mn_i)
-            if stage_host:
-                mu, mc = np.asarray(mu), np.asarray(mc)
-            nxt.append((mu, mc, mn_i))
-        if len(parts) % 2:
-            nxt.append(parts[-1])
-        parts = nxt
-    u, c, n = parts[0]
+    stack.append([u, cnt, n_i, 0])
+    while len(stack) >= 2 and stack[-1][3] == stack[-2][3]:
+        b = stack.pop()
+        a = stack.pop()
+        stack.append(_merge_two(a, b))
+    live = sum(
+        _part_nbytes(p[0]) for p in stack if not isinstance(p[0], np.ndarray)
+    )
+    for p in stack:  # spill oldest (merged-last) first
+        if live <= DEVICE_PARTS_BUDGET:
+            break
+        if not isinstance(p[0], np.ndarray):
+            live -= _part_nbytes(p[0])
+            p[0], p[1] = np.asarray(p[0]), np.asarray(p[1])
+
+
+def _merge_stack_drain(stack):
+    """Merge the remaining stack entries (newest/smallest first) and
+    return ``(unique, counts, n)``."""
+    if not stack:
+        return jnp.zeros((0,), jnp.int64), jnp.zeros((0,), jnp.int32), 0
+    while len(stack) > 1:
+        b = stack.pop()
+        a = stack.pop()
+        stack.append(_merge_two(a, b))
+    u, c, n, _ = stack[0]
     return jnp.asarray(u), jnp.asarray(c), n
 
 
@@ -418,11 +438,7 @@ def count_unique_chunked(
     codes = np.asarray(codes)
     lengths = np.asarray(lengths)
     R = codes.shape[0]
-    W = max(codes.shape[1] - k + 1, 0)
-    # upper bound on cumulative part bytes (uniques <= windows) decides
-    # host staging up front — parts already on device can't be "unstaged"
-    stage_host = R * W * 12 > STAGE_HOST_BYTES
-    parts = []
+    stack: list = []
     for lo in range(0, R, chunk_rows):
         c = jnp.asarray(codes[lo : lo + chunk_rows])
         l = jnp.asarray(lengths[lo : lo + chunk_rows])
@@ -432,11 +448,9 @@ def count_unique_chunked(
         # bucket the kept slice: exact sizes would give every chunk merge
         # a fresh shape -> a fresh (minutes-long, remote) TPU compile
         u, cnt, _ = _bucket_slice(u, cnt, nu_i)
-        if stage_host:
-            u, cnt = np.asarray(u), np.asarray(cnt)
-        parts.append((u, cnt, nu_i))
-    u, c, n = _tree_merge_counted(parts, stage_host=stage_host)
-    if n == 0 and not parts:
+        _merge_stack_push(stack, u, cnt, nu_i)
+    u, c, n = _merge_stack_drain(stack)
+    if n == 0 and not stack:
         return jnp.zeros((0,), jnp.int64), jnp.zeros((0,), jnp.int32), 0
     return u[:n], c[:n], n
 
@@ -474,8 +488,6 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
     import time
 
     R = int(codes.shape[0])
-    W = max(int(codes.shape[1]) - k, 0) * (2 if add_rc else 1)
-    stage_host = R * W * 12 > STAGE_HOST_BYTES  # see count_unique_chunked
     # pad rows to a chunk multiple: dynamic_slice clamps at the array edge,
     # which would re-count tail rows otherwise; zero-length pad rows
     # produce only SENTINEL windows
@@ -490,8 +502,9 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
         lengths_j = jnp.concatenate(
             [lengths_j, jnp.zeros((R_pad - R,), lengths_j.dtype)]
         )
-    parts = []
+    stack: list = []
     t0 = time.perf_counter()
+    t_merge = 0.0
     for ci in range(n_chunks):
         u, cnt, nu = _count_edge_chunk(
             codes_j, lengths_j, ci * chunk_rows, k, w_cap, chunk_rows,
@@ -501,24 +514,24 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
         # bucketed slices keep merge shapes stable across chunks (see
         # count_unique_chunked)
         u, cnt, _ = _bucket_slice(u, cnt, nu_i)
-        if stage_host:
-            u, cnt = np.asarray(u), np.asarray(cnt)
-        parts.append((u, cnt, nu_i))
+        tm = time.perf_counter()
+        # merge completion is forced inside _merge_two by int(mn)
+        _merge_stack_push(stack, u, cnt, nu_i)
+        t_merge += time.perf_counter() - tm
     if verbose:
-        if parts and not stage_host and parts[-1][0].size:
-            _ = int(jnp.asarray(parts[-1][0][0]))  # drain the tail slice
-            # (each chunk's count program is already forced by int(nu))
         t1 = time.perf_counter()
+        spilled = sum(1 for p in stack if isinstance(p[0], np.ndarray))
         print(
-            f"    [build]   {len(parts)} chunk counts: {t1 - t0:.2f}s "
-            f"(host-staged={stage_host})",
+            f"    [build]   {n_chunks} chunk counts: {t1 - t0 - t_merge:.2f}s"
+            f" + interleaved merges: {t_merge:.2f}s"
+            f" (stack={len(stack)}, host-spilled={spilled})",
             flush=True,
         )
         t0 = t1
-    res = _tree_merge_counted(parts, stage_host=stage_host)
+    res = _merge_stack_drain(stack)
     if verbose:
         _ = int(res[0][0]) if res[0].shape[0] else 0  # materialize
-        print(f"    [build]   tree merge: {time.perf_counter() - t0:.2f}s", flush=True)
+        print(f"    [build]   final merge: {time.perf_counter() - t0:.2f}s", flush=True)
     return res
 
 
