@@ -514,7 +514,7 @@ def run_pipeline(
     """
     import os
 
-    from mcaat_tpu.utils.profiling import Profiler
+    from mcaat_tpu.utils.profiling import Profiler, compile_counter
 
     if checkpoint_dir is None and _sharded_mode(settings):
         result = _run_pipeline_sharded(settings, verbose)
@@ -522,6 +522,7 @@ def run_pipeline(
             return result
 
     prof = Profiler()
+    cc0 = compile_counter().snapshot()
     result = PipelineResult()
     t0 = time.time()
 
@@ -617,5 +618,7 @@ def run_pipeline(
         print(f"Saved in: {analyzer.output_path}")
         print("Stage timings:")
         print(prof.report())
+        n_c, s_c = compile_counter().delta(cc0)
+        print(f"XLA compiles this run: {n_c} programs, {s_c:.1f}s")
         print(f"Total time: {time.time() - t0:.2f}s")
     return result
