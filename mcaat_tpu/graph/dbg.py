@@ -515,9 +515,10 @@ def build_dbg_from_reads(
     k: int = 23,
     add_reverse_complement: bool = True,
     bucket_shapes: bool = True,
-    chunk_windows: int = 128_000_000,
+    chunk_windows: int = 384_000_000,
     engine: str | None = None,
     verbose: bool = False,
+    endpoints_out: dict | None = None,
 ) -> DBG:
     """End-to-end graph build from a padded read-code matrix.
 
@@ -531,6 +532,14 @@ def build_dbg_from_reads(
     (compiles dominate small runs, especially over remote-compile TPU
     tunnels). Padded nodes carry SENTINEL k-mers, multiplicity 0 and
     ``valid=False``; every query path masks them out.
+
+    With ``endpoints_out`` (a dict) the build stashes the device-resident
+    FIRST/LAST packed k-windows of every input row under keys
+    ``first_km``/``last_km`` (int64 [R_pad], SENTINEL where len < k) —
+    the read mapper's keep predicate needs exactly these two windows per
+    read (src/reads.cpp:74-76), and computing them while the code matrix
+    is already on device spares the mapper its own re-upload of the full
+    matrix over the tunnel.
     """
     from mcaat_tpu.utils.profiling import tick_printer
 
@@ -552,6 +561,13 @@ def build_dbg_from_reads(
 
     codes_j = upload_codes(codes_np)  # 2-bit packed over the tunnel (4x)
     lengths_j = jnp.asarray(lengths_np)
+    if endpoints_out is not None:
+        # BEFORE any engine-specific row doubling: rows must align with
+        # the caller's input rows
+        from mcaat_tpu.kmer.count import extract_first_kmer, extract_last_kmer
+
+        endpoints_out["first_km"] = extract_first_kmer(codes_j, lengths_j, k)
+        endpoints_out["last_km"] = extract_last_kmer(codes_j, lengths_j, k)
     # The RC strand never materializes as a code matrix: the RC read's
     # window multiset is the elementwise revcomp_kmers of the forward
     # windows (and its last k-window is the RC of the forward FIRST
@@ -582,8 +598,10 @@ def build_dbg_from_reads(
         * (2 if add_rc else 1)
     )
     if chunk_windows and n_windows > chunk_windows:
-        # memory-bounded multi-pass counting (single-pass peak would
-        # exceed HBM past ~60M windows on a 16GB chip)
+        # memory-bounded multi-pass counting. The single-pass sort peak
+        # fits a 16GB v5e chip up to a measured 432M windows (480M OOMs
+        # — scripts/exp_ceiling_r3.py); the 384M default budget leaves
+        # margin for the downstream table/adjacency working set.
         from mcaat_tpu.kmer.count import count_edges_chunked
 
         windows_per_row = max(min(int(codes_j.shape[1]) - k, w24), 1) * (

@@ -58,12 +58,16 @@ class PipelineResult:
     profile: object = None  # utils.profiling.Profiler of the run
 
 
-def _load_input_codes(settings: Settings) -> tuple[np.ndarray, np.ndarray]:
-    """Parse all input files into one padded 2-bit code matrix."""
+def _load_input_batches(settings: Settings) -> dict:
+    """Parse every input file once: ``{path: ReadBatch}`` (ordered)."""
     from mcaat_tpu.io.fastq import read_encoded_batch
 
-    batches = [read_encoded_batch(path) for path in settings.input_file_list()]
-    batches = [b for b in batches if b.num_reads]
+    return {path: read_encoded_batch(path) for path in settings.input_file_list()}
+
+
+def _concat_batches(by_path: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Stack per-file batches into one padded 2-bit code matrix."""
+    batches = [b for b in by_path.values() if b.num_reads]
     if not batches:
         raise RuntimeError("No sequences found in input files")
     max_len = max(b.max_len for b in batches)
@@ -75,6 +79,11 @@ def _load_input_codes(settings: Settings) -> tuple[np.ndarray, np.ndarray]:
         lengths[row : row + b.num_reads] = b.lengths
         row += b.num_reads
     return codes, lengths
+
+
+def _load_input_codes(settings: Settings) -> tuple[np.ndarray, np.ndarray]:
+    """Parse all input files into one padded 2-bit code matrix."""
+    return _concat_batches(_load_input_batches(settings))
 
 
 def _sharded_mode(settings: Settings) -> bool:
@@ -90,34 +99,60 @@ def _sharded_mode(settings: Settings) -> bool:
     )
 
 
-def build_graph_from_settings(settings: Settings, verbose: bool = False) -> DBG:
+def build_graph_from_settings(
+    settings: Settings,
+    verbose: bool = False,
+    batches: dict | None = None,
+    endpoints_out: dict | None = None,
+) -> DBG:
     """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp).
 
     Uses the native parser when built (2-bit codes filled in C++, no
-    Python string materialization).
+    Python string materialization). ``batches`` reuses already-parsed
+    per-file ReadBatches (run_pipeline parses each input exactly once
+    and shares them with the read mapper). ``endpoints_out`` is filled
+    with the device-resident per-read endpoint k-mers keyed BY FILE
+    (``{path: (first_km, last_km)}``) for the mapper's keep predicate —
+    single-device build only (the sharded path routes reads itself).
     """
-    codes, lengths = _load_input_codes(settings)
+    if batches is None:
+        batches = _load_input_batches(settings)
+    codes, lengths = _concat_batches(batches)
     if _sharded_mode(settings):
         graph = _build_graph_sharded(codes, lengths, settings)
         if graph is not None:
             return graph
     # --ram bounds the counting working set (≙ the reference feeding
     # --ram to megahit's host_mem, src/sdbg_build.cpp:202): the default
-    # 128M-window single-pass/chunk budget is sized for a 16 GB-HBM chip
-    # (measured: single-pass counting at 105M windows peaks well under
-    # 16 GB and runs 1.9x faster than 24M chunks — r2); scale down
-    # proportionally when the user asks for less
-    chunk_windows = 128_000_000
+    # 384M-window single-pass/chunk budget is sized for a 16 GB-HBM chip
+    # (measured r3: single-pass counting OK at 432M windows, OOM at 480M
+    # — scripts/exp_ceiling_r3.py — and 3x the chunked rate at 302M);
+    # scale down proportionally when the user asks for less
+    chunk_windows = 384_000_000
     if settings.ram_explicit and settings.ram and settings.ram < 16.0:
         chunk_windows = max(int(chunk_windows * settings.ram / 16.0), 2_000_000)
-    return build_dbg_from_reads(
+    eps_rows = {} if endpoints_out is not None else None
+    graph = build_dbg_from_reads(
         codes,
         lengths,
         k=23,
         add_reverse_complement=settings.add_reverse_complement,
         chunk_windows=chunk_windows,
         verbose=verbose,
+        endpoints_out=eps_rows,
     )
+    if endpoints_out is not None and eps_rows:
+        # split the concatenated-row endpoint arrays back per input file
+        off = 0
+        for path, b in batches.items():
+            if not b.num_reads:
+                continue
+            endpoints_out[path] = (
+                eps_rows["first_km"][off : off + b.num_reads],
+                eps_rows["last_km"][off : off + b.num_reads],
+            )
+            off += b.num_reads
+    return graph
 
 
 def _build_graph_sharded(codes, lengths, settings: Settings):
@@ -536,13 +571,19 @@ def run_pipeline(
         return os.path.join(checkpoint_dir, name)
 
     graph_ck = checkpoint_dir and os.path.exists(_ck("graph.npz"))
+    input_batches = None
+    input_endpoints: dict = {}
     if graph_ck:
         graph = ckpt.load_graph(_ck("graph.npz"))
         if verbose:
             print(f"Graph loaded from checkpoint: {graph.size} nodes")
     else:
         with prof.stage("graph_build"):
-            graph = build_graph_from_settings(settings, verbose=verbose)
+            input_batches = _load_input_batches(settings)
+            graph = build_graph_from_settings(
+                settings, verbose=verbose, batches=input_batches,
+                endpoints_out=input_endpoints,
+            )
         prof.count("graph_build", nodes=graph.size)
         if checkpoint_dir:
             ckpt.save_graph(_ck("graph.npz"), graph)
@@ -582,7 +623,10 @@ def run_pipeline(
     else:
         f1, f2 = settings.fastq_files()
         with prof.stage("read_mapping"):
-            reads = get_reads(graph, f1, f2, result.cycles, verbose=verbose)
+            reads = get_reads(
+                graph, f1, f2, result.cycles, verbose=verbose,
+                batches=input_batches, endpoints=input_endpoints or None,
+            )
         prof.count("read_mapping", reads=len(reads))
         if checkpoint_dir:
             ckpt.save_reads(_ck("reads.json"), reads)

@@ -80,15 +80,25 @@ def get_reads(
     fastq_file_2: Optional[str],
     cycles: list[list[int]],
     verbose: bool = False,
+    batches: Optional[dict] = None,
+    endpoints: Optional[dict] = None,
 ) -> list[list[int]]:
     """≙ reference ``get_reads`` (src/reads.cpp:91-130).
 
     Parses straight into the padded 2-bit code matrix (native C++ parser
     when built) — no Python string materialization; mate-2 rows are
     reverse-complemented as a vectorized code-matrix op
-    (≙ reverse_pair_ends_sequence, src/reads.cpp:20-31).
+    (≙ reverse_pair_ends_sequence, src/reads.cpp:20-31). ``batches``
+    (``{path: ReadBatch}``) reuses the build stage's parse — the
+    reference re-reads the FASTQ here (kseqpp, src/reads.cpp:3-18), but
+    the bytes are identical either way. ``endpoints``
+    (``{path: (first_km, last_km)}`` device arrays in RAW orientation,
+    stashed by the build) lets the keep decision run with no code
+    re-upload; the mate-2 endpoints are the bit-math RC of the raw ones
+    swapped: first(RC(r)) == revcomp(last(r)).
     """
     from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
+    from mcaat_tpu.kmer.count import revcomp_kmers
     from mcaat_tpu.utils.profiling import tick_printer
 
     _tick = tick_printer("mapper", verbose)
@@ -96,15 +106,37 @@ def get_reads(
     for cycle in cycles:
         cycle_nodes.update(int(n) for n in cycle)
 
+    def _batch(path: str):
+        if batches is not None and path in batches:
+            return batches[path]
+        return read_encoded_batch(path)
+
+    def _eps(path: str, mate2: bool):
+        if not endpoints or path not in endpoints:
+            return None
+        first_km, last_km = endpoints[path]
+        if mate2:
+            return (
+                revcomp_kmers(last_km, graph.k),
+                revcomp_kmers(first_km, graph.k),
+            )
+        return first_km, last_km
+
     chains: list[list[int]] = []
-    b1 = read_encoded_batch(fastq_file_1)
+    b1 = _batch(fastq_file_1)
     _tick(f"parse ({b1.num_reads} reads)")
-    chains.extend(_map_batch(graph, b1, cycle_nodes))
+    chains.extend(
+        _map_batch(graph, b1, cycle_nodes, endpoints=_eps(fastq_file_1, False))
+    )
     _tick("map")
     if fastq_file_2:
-        b2 = reverse_complement_batch(read_encoded_batch(fastq_file_2))
+        b2 = reverse_complement_batch(_batch(fastq_file_2))
         _tick(f"parse mate-2")
-        chains.extend(_map_batch(graph, b2, cycle_nodes))
+        chains.extend(
+            _map_batch(
+                graph, b2, cycle_nodes, endpoints=_eps(fastq_file_2, True)
+            )
+        )
         _tick("map mate-2")
     return chains
 
@@ -181,31 +213,112 @@ def _map_sequences(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _keep_from_endpoints(table, first_km, last_km, lengths, cyc_sorted, k: int):
+    """Keep predicate from PRE-EXTRACTED endpoint k-mers (device-resident
+    from the build — see ``build_dbg_from_reads(endpoints_out=...)``): no
+    code-matrix re-upload at all."""
+    ids = _lookup_ids(table, jnp.concatenate([first_km, last_km]))
+    R = first_km.shape[0]
+    firsts, lasts = ids[:R], ids[R:]
+    eligible = lengths > 2 * k
+    return eligible & (_isin_sorted(firsts, cyc_sorted) | _isin_sorted(lasts, cyc_sorted))
+
+
+def _chains_for_kept(
+    graph: DBG,
+    codes_src: np.ndarray,
+    lengths_src: np.ndarray,
+    kept_idx: np.ndarray,
+    L_pad: int,
+    chunk_reads: int,
+) -> list[list[int]]:
+    """Phase 2: full window chains for the (rare) kept reads only; the
+    kept count is bucketed so the extract+lookup hit a handful of
+    compiled shapes instead of one per kept count."""
+    from mcaat_tpu.graph.dbg import _bucket_size
+    from mcaat_tpu.kmer.count import upload_codes
+
+    chains: list[list[int]] = []
+    for lo in range(0, len(kept_idx), chunk_reads):
+        sel = kept_idx[lo : lo + chunk_reads]
+        n_kept = len(sel)
+        g_pad = _bucket_size(n_kept)
+        codes_k = np.zeros((g_pad, L_pad), dtype=np.uint8)
+        codes_k[:n_kept, : codes_src.shape[1]] = codes_src[sel]
+        lengths_k = np.zeros((g_pad,), dtype=np.int32)
+        lengths_k[:n_kept] = lengths_src[sel]
+        kmers = extract_kmers(
+            upload_codes(codes_k), jnp.asarray(lengths_k), graph.k
+        )
+        ids_kept = np.asarray(
+            graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)[:n_kept]
+        )
+        n_win_host = np.maximum(lengths_k[:n_kept] - graph.k + 1, 0)
+        chains.extend(
+            ids_kept[i, : int(n_win_host[i])].tolist() for i in range(n_kept)
+        )
+    return chains
+
+
+def _bucketed_cycle_table(cycle_nodes: set[int]) -> jax.Array:
+    """Sorted cycle-node id table, bucket-padded with a never-matching
+    sentinel so the jitted keep-masks reuse compiled shapes."""
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    cyc = np.fromiter(cycle_nodes, dtype=np.int64, count=len(cycle_nodes))
+    cyc.sort()
+    c_pad = _bucket_size(max(len(cyc), 1))
+    cyc_b = np.full(c_pad, np.iinfo(np.int64).max, dtype=np.int64)
+    cyc_b[: len(cyc)] = cyc
+    return jnp.asarray(cyc_b)
+
+
 def _map_batch(
     graph: DBG,
     full_batch: ReadBatch,
     cycle_nodes: set[int],
     chunk_reads: int = 1 << 20,
+    endpoints: tuple | None = None,
 ) -> list[list[int]]:
-    """Batched window lookup in read blocks (memory-bounded at scale)."""
+    """Batched window lookup in read blocks (memory-bounded at scale).
+
+    ``endpoints`` — device-resident ``(first_km, last_km)`` int64 arrays
+    (rows ≥ num_reads, tail padded) stashed by the graph build — lets
+    phase 1 (the keep decision) run as ONE lookup over all reads with no
+    code upload; otherwise the code matrix goes up packed, chunk-wise.
+    """
     if full_batch.num_reads == 0:
         return []
     from mcaat_tpu.graph.dbg import _bucket_size
 
-    cyc = np.fromiter(cycle_nodes, dtype=np.int64, count=len(cycle_nodes))
-    cyc.sort()
-    # bucket the cycle-set size (pad with a never-matching sentinel) so the
-    # jitted keep-mask reuses compiled shapes across datasets
-    c_pad = _bucket_size(max(len(cyc), 1))
-    cyc_b = np.full(c_pad, np.iinfo(np.int64).max, dtype=np.int64)
-    cyc_b[: len(cyc)] = cyc
-    cyc_j = jnp.asarray(cyc_b)
+    cyc_j = _bucketed_cycle_table(cycle_nodes)
 
     # pad L to a multiple of 32 so datasets share compiled shapes
     L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
+    R_total = full_batch.num_reads
+
+    if int(np.asarray(full_batch.lengths).max(initial=0)) < graph.k:
+        return []
+
+    if endpoints is not None:
+        first_km, last_km = endpoints
+        lengths_full = np.zeros(int(first_km.shape[0]), dtype=np.int32)
+        lengths_full[:R_total] = full_batch.lengths
+        keep_d = _keep_from_endpoints(
+            graph.kmers, first_km, last_km, jnp.asarray(lengths_full),
+            cyc_j, graph.k,
+        )
+        kept_idx = np.nonzero(np.asarray(keep_d)[:R_total])[0]
+        return _chains_for_kept(
+            graph, full_batch.codes, full_batch.lengths, kept_idx,
+            L_pad, chunk_reads,
+        )
+
+    from mcaat_tpu.kmer.count import upload_codes
 
     chains: list[list[int]] = []
-    for lo in range(0, full_batch.num_reads, chunk_reads):
+    for lo in range(0, R_total, chunk_reads):
         c_np = full_batch.codes[lo : lo + chunk_reads]
         l_np = full_batch.lengths[lo : lo + chunk_reads]
         # bucket the row count so repeat runs reuse compiled programs;
@@ -218,8 +331,6 @@ def _map_batch(
         lengths[:R] = l_np
         if int(l_np.max(initial=0)) < graph.k:
             continue
-        from mcaat_tpu.kmer.count import upload_codes
-
         # phase 1: endpoint-only keep decision (2 windows per read);
         # codes go up 2-bit packed (the tunnel is transfer-bound)
         keep_d = _endpoint_keep_mask(
@@ -228,23 +339,7 @@ def _map_batch(
         kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
         if len(kept_idx) == 0:
             continue
-        # phase 2: full window chains for the (rare) kept reads only;
-        # bucket the kept count so the extract+lookup hit a handful of
-        # compiled shapes instead of one per kept count
-        n_kept = len(kept_idx)
-        g_pad = _bucket_size(n_kept)
-        codes_k = np.zeros((g_pad, L_pad), dtype=np.uint8)
-        codes_k[:n_kept] = codes[kept_idx]
-        lengths_k = np.zeros((g_pad,), dtype=np.int32)
-        lengths_k[:n_kept] = lengths[kept_idx]
-        kmers = extract_kmers(
-            jnp.asarray(codes_k), jnp.asarray(lengths_k), graph.k
-        )
-        ids_kept = np.asarray(
-            graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)[:n_kept]
-        )
-        n_win_host = np.maximum(lengths_k[:n_kept] - graph.k + 1, 0)
         chains.extend(
-            ids_kept[i, : int(n_win_host[i])].tolist() for i in range(n_kept)
+            _chains_for_kept(graph, codes, lengths, kept_idx, L_pad, chunk_reads)
         )
     return chains
