@@ -349,8 +349,8 @@ def find_cycles(
     import jax.numpy as jnp
 
     from mcaat_tpu.cycles.start_nodes import (
-        _candidate_mask,
         bucket_start_nodes,
+        candidate_ids,
         self_reachable_batch,
     )
     from mcaat_tpu.prune.prune import clip_tips, invalidate_low_multiplicity
@@ -377,10 +377,7 @@ def find_cycles(
     if n >= NEIGHBORHOOD_MIN_NODES:
         from mcaat_tpu.cycles.neighborhood import extract_subgraph, touched_mask
 
-        cand_mask = _candidate_mask(
-            graph.out, graph.in_, graph.valid, graph.mult, threshold_multiplicity
-        )
-        cand = np.nonzero(np.asarray(cand_mask))[0].astype(np.int64)
+        cand = candidate_ids(graph, threshold_multiplicity)
         if verbose:
             print(f"ChunkStartNodes: {len(cand)} candidates pass the static filter")
         _tick("candidate scan")

@@ -390,8 +390,14 @@ def _resize_frontier(frontier: jax.Array, new_cap: int, fill: jax.Array):
 
 
 def _unpack_bitset(words: np.ndarray, n: int) -> np.ndarray:
-    ids = np.arange(n, dtype=np.int64)
-    return ((words[ids >> 5] >> (ids & 31).astype(np.uint32)) & 1).astype(bool)
+    """Bit i of the mask = bit (i & 31) of uint32 word (i >> 5) — i.e.
+    little-endian bit order, which on a little-endian host is exactly
+    ``unpackbits(view(uint8), bitorder="little")``. The old fancy-indexed
+    gather allocated ~1.6 GB of int64 temporaries at 50M nodes (8.2s of
+    the 302M-window warm run); unpackbits runs it in ~50 ms."""
+    return np.unpackbits(
+        np.ascontiguousarray(words).view(np.uint8), count=n, bitorder="little"
+    ).astype(bool)
 
 
 def _undirected_region_mask_host(

@@ -234,6 +234,65 @@ def _candidate_mask(out, in_, valid, mult, threshold_multiplicity):
     return valid & (indeg >= 2) & (mult > threshold_multiplicity) & ~self_loop
 
 
+@jax.jit
+def _precand_order(valid, mult, threshold_multiplicity):
+    """Cheap pre-candidate compaction: candidate ids first, ascending.
+
+    ``argsort(~pre, stable)`` puts the nodes passing the O(N)-cheap half
+    of the predicate (valid & mult>thr) at the front in ascending-id
+    order — one device sort instead of a host nonzero over a downloaded
+    full-size bool mask.
+    """
+    pre = valid & (mult > threshold_multiplicity)
+    return jnp.argsort(~pre, stable=True), jnp.sum(pre)
+
+
+@jax.jit
+def _cand_refine(out, in_, valid, ids):
+    """indeg>=2 & no-self-loop for a SMALL id set (4 slot gathers)."""
+    base = ids.astype(jnp.int64) * 4
+    indeg = jnp.zeros(ids.shape, jnp.int32)
+    self_loop = jnp.zeros(ids.shape, bool)
+    for b in range(4):
+        ib = in_[base + b]
+        indeg = indeg + ((ib >= 0) & valid[jnp.maximum(ib, 0)])
+        self_loop = self_loop | (out[base + b] == ids.astype(out.dtype))
+    return (indeg >= 2) & ~self_loop
+
+
+def candidate_ids(graph: DBG, threshold_multiplicity: int) -> np.ndarray:
+    """Two-stage static candidate scan (src/cycle_finder.cpp:398-411).
+
+    The fused full-graph predicate pays a 4N random validity gather for
+    in-degrees (200M elements at 50M nodes — 13.7s of the 302M-window
+    warm run) to evaluate a filter that typically keeps ~1e3 nodes.
+    Stage 1 compacts the cheap O(N) half (valid & mult>thr) with one
+    device sort; stage 2 gathers the in/out slots of the survivors only.
+    Falls back to the fused scan when the pre-filter keeps > n/8 nodes
+    (the refine gathers would approach full-scan cost). Result is
+    identical either way: ascending candidate ids.
+    """
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    n = graph.size
+    order, cnt = _precand_order(
+        graph.valid, graph.mult, jnp.asarray(threshold_multiplicity, graph.mult.dtype)
+    )
+    c = int(cnt)
+    if c == 0:
+        return np.empty(0, dtype=np.int64)
+    if c > n // 8:
+        cand_mask = _candidate_mask(
+            graph.out, graph.in_, graph.valid, graph.mult, threshold_multiplicity
+        )
+        return np.nonzero(np.asarray(cand_mask))[0].astype(np.int64)
+    c_pad = min(_bucket_size(c), n)
+    ids = order[:c_pad]
+    keep = _cand_refine(graph.out, graph.in_, graph.valid, ids)
+    ids_h = np.asarray(ids)[:c]
+    return ids_h[np.asarray(keep)[:c]].astype(np.int64)
+
+
 def select_start_nodes(
     graph: DBG,
     threshold_multiplicity: int,
@@ -245,10 +304,7 @@ def select_start_nodes(
     Bucketing matches the reference: key = ceil(log2(multiplicity)),
     processed in descending order (src/cycle_finder.cpp:414-416,468).
     """
-    cand_mask = _candidate_mask(
-        graph.out, graph.in_, graph.valid, graph.mult, threshold_multiplicity
-    )
-    cand = np.nonzero(np.asarray(cand_mask))[0].astype(np.int32)
+    cand = candidate_ids(graph, threshold_multiplicity).astype(np.int32)
     if verbose:
         print(f"ChunkStartNodes: {len(cand)} candidates pass the static filter")
     reach = self_reachable_batch(graph, cand, cycle_max_length)

@@ -387,3 +387,46 @@ def test_undirected_region_kernel_matches_host():
         got = undirected_region_mask(g, seeds, hops)
         want = _undirected_region_mask_host(g, seeds, hops)
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_candidate_ids_matches_fused_mask():
+    """Two-stage candidate scan (compact + refine, and its >n/8 fallback)
+    must match the fused full-graph predicate exactly."""
+    from mcaat_tpu.cycles.start_nodes import _candidate_mask, candidate_ids
+    from mcaat_tpu.graph.dbg import DBG
+
+    rng = np.random.default_rng(11)
+    for trial, (dense, thr) in enumerate([(False, 10), (True, 1), (False, 50)]):
+        n = int(rng.integers(500, 3000))
+        out = rng.integers(-1, n, size=4 * n).astype(np.int32)
+        in_ = rng.integers(-1, n, size=4 * n).astype(np.int32)
+        valid = rng.random(n) < 0.8
+        if dense:
+            mult = rng.integers(1, 40, size=n).astype(np.int32)
+        else:
+            mult = np.ones(n, np.int32)
+            mult[rng.choice(n, n // 20, replace=False)] = thr + 5
+        g = DBG(
+            k=23,
+            kmers=jnp.zeros((n,), jnp.int64),
+            mult=jnp.asarray(mult),
+            out=jnp.asarray(out),
+            in_=jnp.asarray(in_),
+            valid=jnp.asarray(valid),
+        )
+        ref = np.nonzero(
+            np.asarray(_candidate_mask(g.out, g.in_, g.valid, g.mult, thr))
+        )[0]
+        got = candidate_ids(g, thr)
+        np.testing.assert_array_equal(ref, got, err_msg=f"trial {trial}")
+
+
+def test_unpack_bitset_bit_order():
+    from mcaat_tpu.cycles.neighborhood import _unpack_bitset
+
+    rng = np.random.default_rng(12)
+    for n in (1, 31, 32, 33, 1000, 4097):
+        words = rng.integers(0, 2**32, size=(n + 31) // 32, dtype=np.uint32)
+        ids = np.arange(n, dtype=np.int64)
+        want = ((words[ids >> 5] >> (ids & 31).astype(np.uint32)) & 1).astype(bool)
+        np.testing.assert_array_equal(_unpack_bitset(words, n), want)
