@@ -23,6 +23,7 @@ from mcaat_tpu.evaluation import (
 from mcaat_tpu.graph.dbg import DBG, build_dbg_from_reads
 from mcaat_tpu.io.fastq import encode_sequences, read_sequences
 from mcaat_tpu.ordering.ordering import (
+    filter_subproblems,
     get_crispr_regions_extended_by_k,
     get_minimum_cycles_for_full_coverage,
     get_ordered_cycles,
@@ -289,16 +290,10 @@ def spacer_ordering_step(
 
     if verbose:
         print("  🔄 Filtering subproblems:")
-    remaining = []
-    for sg in subgraphs:
-        relevant_reads = get_relevant_reads(sg, reads)
-        relevant_cycles = get_relevant_cycles(sg, cycles)
-        relevant_cycles = get_minimum_cycles_for_full_coverage(relevant_cycles)
-        # megahit-style RC component is discarded by having no relevant
-        # reads (main_run_and_debug.cpp:54-59)
-        if len(relevant_reads) == 0 or len(relevant_cycles) < 3:
-            continue
-        remaining.append((sg, relevant_reads, relevant_cycles))
+    # megahit-style RC component is discarded by having no relevant
+    # reads (main_run_and_debug.cpp:54-59); one vectorized pass over all
+    # subgraphs (result-identical to the per-subgraph filters)
+    remaining = filter_subproblems(graph.size, subgraphs, reads, cycles)
     if verbose:
         print(
             f"  ✅ Filtered out {len(subgraphs) - len(remaining)}/"

@@ -176,3 +176,62 @@ def test_order_cycles_reversed_reads():
     reads = [[300, 200], [200, 100], [300, 200, 100]]
     order, _, _ = order_cycles(reads, cycles, verbose=False)
     assert order == [2, 1, 0]
+
+
+def test_filter_subproblems_matches_naive_loop():
+    """Vectorized all-subgraph relevance filter must equal the
+    per-subgraph get_relevant_reads/get_relevant_cycles loop."""
+    from mcaat_tpu.ordering.ordering import (
+        Subgraph,
+        filter_subproblems,
+        get_minimum_cycles_for_full_coverage,
+        get_relevant_cycles,
+        get_relevant_reads,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        n = 60
+        # disjoint node sets (SCC subgraphs partition nodes)
+        perm = rng.permutation(n)
+        sizes = [2, 3, 5, 4]
+        subgraphs, off = [], 0
+        for sz in sizes:
+            sg = Subgraph()
+            comp = perm[off : off + sz]
+            for a, b in zip(comp, np.roll(comp, -1)):
+                sg.add_edge(int(a), int(b))
+            subgraphs.append(sg)
+            off += sz
+        reads = [
+            rng.integers(0, n, size=rng.integers(1, 6)).tolist()
+            for _ in range(40)
+        ] + [[]]
+        cycles = [
+            rng.integers(0, n, size=rng.integers(1, 4)).tolist()
+            for _ in range(10)
+        ]
+        # plant cycles fully inside subgraphs so some survive
+        for sg in subgraphs:
+            nodes = sorted(sg.nodes)
+            cycles.append([nodes[0], nodes[-1], nodes[0]])
+            cycles.append(list(nodes))
+            cycles.append(list(nodes))
+            cycles.append([nodes[-1], nodes[0]])
+
+        naive = []
+        for sg in subgraphs:
+            rr = get_relevant_reads(sg, reads)
+            rc = get_minimum_cycles_for_full_coverage(
+                get_relevant_cycles(sg, cycles)
+            )
+            if len(rr) == 0 or len(rc) < 3:
+                continue
+            naive.append((sg, rr, rc))
+
+        got = filter_subproblems(n, subgraphs, reads, cycles)
+        assert len(got) == len(naive), trial
+        for (sg_a, rr_a, rc_a), (sg_b, rr_b, rc_b) in zip(naive, got):
+            assert sg_a is sg_b
+            assert rr_a == rr_b
+            assert rc_a == rc_b
