@@ -150,9 +150,26 @@ def touched_mask(
 def remap_to_local(gids: np.ndarray, a: np.ndarray) -> np.ndarray:
     """Global ids -> compact local ids (rank in the sorted ``gids``);
     entries outside ``gids`` (and negatives) become -1. Shared by the
-    single-device and sharded subgraph compactions."""
+    single-device and sharded subgraph compactions.
+
+    Bulk lookups take a dense scatter/gather map (host binary search ran
+    3.8s for 7.9M chain entries at the 600M-window shapes; the dense map
+    is ~0.2s) when the id range keeps the map under 2 GB; sparse/huge
+    ranges fall back to searchsorted."""
     if len(gids) == 0:
         return np.full(a.shape, -1, dtype=np.int32)
+    hi = int(gids[-1]) + 1
+    if a.size >= 4 * len(gids) and hi <= (1 << 29):
+        # np.zeros = calloc (lazy zero pages; np.full's eager -1 fill
+        # alone cost 2.2s at 100M ids on this host) — store local+1 so
+        # untouched zeros decode to the -1 miss sentinel
+        dense = np.zeros(hi, dtype=np.int32)
+        dense[gids] = np.arange(1, len(gids) + 1, dtype=np.int32)
+        ok = (a >= 0) & (a < hi)
+        res = dense[np.where(ok, a, 0)]
+        res -= 1
+        res[~ok] = -1
+        return res
     pos = np.searchsorted(gids, np.maximum(a, 0))
     pos_c = np.minimum(pos, len(gids) - 1)
     hit = (a >= 0) & (gids[pos_c] == np.maximum(a, 0))
