@@ -366,16 +366,19 @@ def build_adjacency_chunked(
     edges24,
     n_edges: int,
     k: int = 23,
-    chunk_edges: int = 16_000_000,
+    chunk_edges: int = 48_000_000,
     u_id=None,
 ):
     """Memory-bounded adjacency assembly: edge chunks join + scatter in turn.
 
-    The single-shot ``_build_adjacency`` sorts table + both endpoint query
-    arrays together (N + 2E rows); past ~10^8 edges that sort's buffers
-    exceed HBM. Here each chunk joins (N + 2C rows) and scatters into
-    donated accumulator arrays, so peak memory is the node table + one
-    chunk + the [4N] adjacency — the same ceiling as chunked counting.
+    The single-shot ``_build_adjacency`` sorts table + the destination
+    query array together (N + E rows); past ~10^8 edges that sort's
+    buffers exceed HBM. Here each chunk joins (N + C rows) and scatters
+    into donated accumulator arrays, so peak memory is the node table +
+    one chunk + the [4N] adjacency — the same ceiling as chunked
+    counting. Every chunk re-sorts the node table, so chunks should be as
+    large as memory allows (measured at 94.4M edges / 100.7M-node
+    buckets: 16M chunks 13.5s, 48M chunks 9.6s, single-shot 8.4s).
     Chunks of the sorted edge table keep the sorted-out-slot property.
     ``u_id`` (per-edge source node ids) chunks alongside the edges.
     """
@@ -470,7 +473,11 @@ def build_dbg(
     counts23 = jnp.asarray(counts23, dtype=jnp.int32)
     if n_edges is None:
         n_edges = int(edges24.shape[0])
-    if int(n_edges) > 32_000_000:
+    # single-shot up to 100M edges: with u_id the join is one-sided (N+E
+    # rows, not N+2E) and measured FITTING at 94.4M edges / 100.7M-node
+    # buckets on a 16GB v5e — 8.4s vs 13.5s for 16M-edge chunks, which
+    # re-sort the node table once per chunk (scripts note, r3)
+    if int(n_edges) > 100_000_000:
         out, in_ = build_adjacency_chunked(
             kmers23, edges24, int(n_edges), k=k, u_id=u_id
         )

@@ -78,6 +78,14 @@ def _grow_region(out, in_, valid, seed_mask, hops: int):
     return reached
 
 
+# Above this size the k-hop growth runs the frontier-compact bitset
+# kernel instead of the hops x O(4N) full-array program: the full-array
+# formulation's 8 gathers/hop x read_len hops cost ~3.8s at a 300k-node
+# region graph (600M-window run), where the frontier never exceeds a few
+# thousand nodes. Identical semantics (parity-tested both ways).
+GROW_FRONTIER_MIN_NODES = 100_000
+
+
 def keep_crispr_regions_extended_by_k(
     graph: DBG, k_hops: int, cycles: list[list[int]]
 ) -> DBG:
@@ -87,6 +95,14 @@ def keep_crispr_regions_extended_by_k(
     pipeline passes is the *read chain length*, src/main_run_and_debug.cpp:40-41).
     """
     n = graph.size
+    if n >= GROW_FRONTIER_MIN_NODES:
+        from mcaat_tpu.cycles.neighborhood import undirected_region_mask
+
+        seeds = np.asarray(
+            sorted({int(v) for c in cycles for v in c}), dtype=np.int64
+        )
+        reached = undirected_region_mask(graph, seeds, int(k_hops))
+        return graph.with_valid(graph.valid & jnp.asarray(reached))
     seed = np.zeros(n, dtype=bool)
     for cycle in cycles:
         seed[np.asarray(cycle, dtype=np.int64)] = True

@@ -235,3 +235,54 @@ def test_filter_subproblems_matches_naive_loop():
             assert sg_a is sg_b
             assert rr_a == rr_b
             assert rc_a == rc_b
+
+
+def test_keep_crispr_regions_growth_paths_match():
+    """The frontier-kernel growth (big graphs) and the full-array
+    _grow_region program must produce identical validity."""
+    import jax.numpy as jnp
+
+    import mcaat_tpu.ordering.ordering as om
+    from mcaat_tpu.graph.dbg import DBG
+
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        n = int(rng.integers(200, 800))
+        # consistent adjacency (u in out[v] <=> v in in_[u], as in a real
+        # DBG): an out-edge is added only if the target has a free in-slot
+        out = np.full((n, 4), -1, dtype=np.int32)
+        in_ = np.full((n, 4), -1, dtype=np.int32)
+        for v in range(n):
+            for b in range(int(rng.integers(0, 3))):
+                w = int(rng.integers(0, n))
+                free = np.nonzero(in_[w] < 0)[0]
+                if len(free):
+                    out[v, b] = w
+                    in_[w, free[0]] = v
+        valid = rng.random(n) > 0.3
+        g = DBG(
+            k=23,
+            kmers=jnp.zeros((n,), jnp.int64),
+            mult=jnp.ones((n,), jnp.int32),
+            out=jnp.asarray(out.reshape(-1)),
+            in_=jnp.asarray(in_.reshape(-1)),
+            valid=jnp.asarray(valid),
+        )
+        cycles = [
+            rng.integers(0, n, size=rng.integers(2, 6)).tolist()
+            for _ in range(3)
+        ]
+        hops = int(rng.integers(1, 8))
+        old_thr = om.GROW_FRONTIER_MIN_NODES
+        try:
+            om.GROW_FRONTIER_MIN_NODES = 1  # force frontier kernel
+            got = np.asarray(
+                om.keep_crispr_regions_extended_by_k(g, hops, cycles).valid
+            )
+            om.GROW_FRONTIER_MIN_NODES = 1 << 60  # force full-array program
+            want = np.asarray(
+                om.keep_crispr_regions_extended_by_k(g, hops, cycles).valid
+            )
+        finally:
+            om.GROW_FRONTIER_MIN_NODES = old_thr
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
