@@ -340,7 +340,14 @@ def undirected_region_mask(
 
     remaining = hops
     while remaining > 0 and count > 0:
-        levels = min(_REGION_PHASE_LEVELS, remaining)
+        # phase cost ∝ cap x levels and cap tracks the LIVE frontier only
+        # between phases: with a large frontier (e.g. the 199k cycle-node
+        # seeds of the 600M-window run, which saturate their region after
+        # 1-2 hops and collapse to ~1.3k) run SHORT phases so the cap can
+        # adapt down before paying 6 levels at full width
+        levels = min(
+            _REGION_PHASE_LEVELS if count <= 32_768 else 2, remaining
+        )
         want = _bucket_size(max(4 * count, 4096))
         cap = min(want, _bucket_size(4 * n))
         done = False

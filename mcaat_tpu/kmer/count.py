@@ -29,8 +29,16 @@ def pack_codes_host(codes: np.ndarray) -> np.ndarray:
     Host->device transfers ride a remote tunnel here (~5s for the 86 MB
     code matrix of a 675k-read batch); packing 4 bases/byte cuts the wire
     volume 4x. Unpack on device with :func:`unpack_codes_device`.
+    Native single-pass packer when built (the numpy formulation's 6+
+    full-size passes cost 9.3s at 3.9M x 192 on this host, ~55% of the
+    600M-window build's upload tick); numpy fallback otherwise.
     """
+    from mcaat_tpu import native
+
     codes = np.asarray(codes, dtype=np.uint8)
+    packed = native.pack_codes(codes)
+    if packed is not None:
+        return packed
     R, L = codes.shape
     Lp = (L + 3) // 4 * 4
     c = np.zeros((R, Lp), np.uint8)

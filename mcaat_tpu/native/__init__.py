@@ -84,8 +84,39 @@ def _load() -> Optional[ctypes.CDLL]:
             c.c_int64,
             c.POINTER(c.c_int64),
         ]
+    if hasattr(lib, "mcaat_pack_codes"):  # older .so builds lack it
+        lib.mcaat_pack_codes.restype = None
+        lib.mcaat_pack_codes.argtypes = [
+            c.POINTER(c.c_uint8),
+            c.c_int64,
+            c.c_int64,
+            c.c_int64,
+            c.POINTER(c.c_uint8),
+        ]
     _lib = lib
     return _lib
+
+
+def pack_codes(codes) -> "np.ndarray | None":
+    """[R, L] 2-bit code matrix -> [R, ceil(L/4)] packed bytes, or None
+    when the native lib is unbuilt/old (caller falls back to numpy)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "mcaat_pack_codes"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    R, L = codes.shape
+    lp = (L + 3) // 4
+    out = np.empty((R, lp), dtype=np.uint8)
+    lib.mcaat_pack_codes(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(R),
+        ctypes.c_int64(L),
+        ctypes.c_int64(lp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
 
 
 def native_available() -> bool:
