@@ -251,8 +251,13 @@ def _chains_for_kept(
         kmers = extract_kmers(
             upload_codes(codes_k), jnp.asarray(lengths_k), graph.k
         )
+        # int32 on device before the download: node ids fit, and the
+        # [kept, W] id matrix is the mapper's largest device->host
+        # transfer (89MB as int64 at the 600M-window shapes)
         ids_kept = np.asarray(
-            graph.lookup(kmers.reshape(-1)).reshape(kmers.shape)[:n_kept]
+            graph.lookup(kmers.reshape(-1))
+            .reshape(kmers.shape)[:n_kept]
+            .astype(jnp.int32)
         )
         n_win_host = np.maximum(lengths_k[:n_kept] - graph.k + 1, 0)
         chains.extend(
