@@ -111,9 +111,9 @@ def _union_reach_kernel(
     _, frontier, visited, overflow = jax.lax.while_loop(
         cond, body, (jnp.int32(0), frontier, visited, overflow)
     )
-    ids = jnp.arange(N, dtype=jnp.int32)
-    touched = (visited[ids >> 5] >> (ids & 31).astype(jnp.uint32)) & 1
-    return touched.astype(bool), overflow
+    # return the PACKED bitset: the unpacked bool[N] download cost ~100MB
+    # (~3s over the tunnel) at 100M nodes vs 12.6MB packed
+    return visited, overflow
 
 
 def touched_mask(
@@ -133,7 +133,7 @@ def touched_mask(
     for cap in (cap0, cap0 * 16, cap0 * 256):
         if cap > 4 * n_nodes:
             cap = _bucket_size(4 * n_nodes)
-        touched, overflow = _union_reach_kernel(
+        visited, overflow = _union_reach_kernel(
             graph_out,
             graph_valid,
             jnp.asarray(seeds),
@@ -141,7 +141,7 @@ def touched_mask(
             cap,
         )
         if not bool(overflow):
-            return np.asarray(touched)
+            return _unpack_bitset(np.asarray(visited), n_nodes)
         if cap >= 4 * n_nodes:
             break
     return None
