@@ -473,11 +473,13 @@ def build_dbg(
     counts23 = jnp.asarray(counts23, dtype=jnp.int32)
     if n_edges is None:
         n_edges = int(edges24.shape[0])
-    # single-shot up to 100M edges: with u_id the join is one-sided (N+E
+    # single-shot up to 96M edges: with u_id the join is one-sided (N+E
     # rows, not N+2E) and measured FITTING at 94.4M edges / 100.7M-node
     # buckets on a 16GB v5e — 8.4s vs 13.5s for 16M-edge chunks, which
-    # re-sort the node table once per chunk (scripts note, r3)
-    if int(n_edges) > 100_000_000:
+    # re-sort the node table once per chunk (scripts/exp_adj_r3.py). The
+    # 96M cutoff stays inside the measured bucket band (bucket(96M) =
+    # the same 100.7M rows the fit was measured at).
+    if int(n_edges) > 96_000_000:
         out, in_ = build_adjacency_chunked(
             kmers23, edges24, int(n_edges), k=k, u_id=u_id
         )

@@ -134,11 +134,23 @@ def host_byte_range(path: str, process_id: int, num_processes: int):
         def align(off):
             if off == 0:
                 return 0
-            if off >= size:
-                return size
-            fh.seek(off)
-            window = fh.read(1 << 20)
-            return off + _find_fastq_boundary(window, is_fasta)
+            # scan windows until a record start is found — a single 1MB
+            # window is not enough for e.g. FASTA contigs >1MB, and a
+            # mid-record offset would crash the strict chunk parser.
+            # Windows overlap by 64KB so FASTQ's 2-line lookahead (and a
+            # '\n>' split across windows) can't straddle a window edge.
+            pos = off
+            while pos < size:
+                fh.seek(pos)
+                window = fh.read(1 << 20)
+                i = _find_fastq_boundary(window, is_fasta)
+                if i < len(window):
+                    return pos + i
+                step = len(window) - (1 << 16)
+                if step <= 0:
+                    break
+                pos += step
+            return size
 
         return align(lo), align(hi)
 

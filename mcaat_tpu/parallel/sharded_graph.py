@@ -64,18 +64,6 @@ def host_replicated(mesh: Mesh, x) -> np.ndarray:
     return np.asarray(_replicator(mesh)(x))
 
 
-def global_input(x):
-    """Make a device array safe to pass into a multi-process mesh program.
-
-    Arrays produced by process-local jits are committed to local devices;
-    multi-process jit rejects them. A host round-trip makes the value an
-    uncommitted (replicatable) input again. No-op single-process.
-    """
-    if jax.process_count() == 1:
-        return x
-    return np.asarray(x)
-
-
 @dataclass
 class ShardedDBG:
     """Per-shard arrays; leading axis is the kp shard."""

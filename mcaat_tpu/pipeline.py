@@ -25,11 +25,7 @@ from mcaat_tpu.io.fastq import encode_sequences, read_sequences
 from mcaat_tpu.ordering.ordering import (
     filter_subproblems,
     get_crispr_regions_extended_by_k,
-    get_minimum_cycles_for_full_coverage,
     get_ordered_cycles,
-    get_relevant_cycles,
-    get_relevant_reads,
-    order_cycles,
 )
 from mcaat_tpu.reads.mapper import get_reads
 from mcaat_tpu.report.analyzer import CRISPRAnalyzer
@@ -59,16 +55,26 @@ class PipelineResult:
     profile: object = None  # utils.profiling.Profiler of the run
 
 
-def _load_input_batches(settings: Settings) -> dict:
-    """Parse every input file once: ``{path: ReadBatch}`` (ordered)."""
+def _load_input_batches(settings: Settings) -> list:
+    """Parse the input files: ``[(path, ReadBatch)]``, one entry per
+    LISTED file. A path listed twice contributes its reads twice, exactly
+    like the reference's per-file loop (src/tmp_utils.cpp:8-24) — a
+    path-keyed dict silently halved duplicate files' multiplicities. Each
+    distinct path is parsed once and the batch object shared."""
     from mcaat_tpu.io.fastq import read_encoded_batch
 
-    return {path: read_encoded_batch(path) for path in settings.input_file_list()}
+    cache: dict = {}
+    entries = []
+    for path in settings.input_file_list():
+        if path not in cache:
+            cache[path] = read_encoded_batch(path)
+        entries.append((path, cache[path]))
+    return entries
 
 
-def _concat_batches(by_path: dict) -> tuple[np.ndarray, np.ndarray]:
+def _concat_batches(entries: list) -> tuple[np.ndarray, np.ndarray]:
     """Stack per-file batches into one padded 2-bit code matrix."""
-    batches = [b for b in by_path.values() if b.num_reads]
+    batches = [b for _, b in entries if b.num_reads]
     if not batches:
         raise RuntimeError("No sequences found in input files")
     max_len = max(b.max_len for b in batches)
@@ -103,7 +109,7 @@ def _sharded_mode(settings: Settings) -> bool:
 def build_graph_from_settings(
     settings: Settings,
     verbose: bool = False,
-    batches: dict | None = None,
+    batches: list | None = None,
     endpoints_out: dict | None = None,
 ) -> DBG:
     """STEP: graph build (≙ SDBGBuild, src/sdbg_build.cpp).
@@ -113,8 +119,10 @@ def build_graph_from_settings(
     per-file ReadBatches (run_pipeline parses each input exactly once
     and shares them with the read mapper). ``endpoints_out`` is filled
     with the device-resident per-read endpoint k-mers keyed BY FILE
-    (``{path: (first_km, last_km)}``) for the mapper's keep predicate —
-    single-device build only (the sharded path routes reads itself).
+    (``{path: (first_km, last_km)}``, first occurrence wins for a
+    duplicated path — same file, same endpoints) for the mapper's keep
+    predicate — single-device build only (the sharded path routes reads
+    itself).
     """
     if batches is None:
         batches = _load_input_batches(settings)
@@ -145,12 +153,15 @@ def build_graph_from_settings(
     if endpoints_out is not None and eps_rows:
         # split the concatenated-row endpoint arrays back per input file
         off = 0
-        for path, b in batches.items():
+        for path, b in batches:
             if not b.num_reads:
                 continue
-            endpoints_out[path] = (
-                eps_rows["first_km"][off : off + b.num_reads],
-                eps_rows["last_km"][off : off + b.num_reads],
+            endpoints_out.setdefault(
+                path,
+                (
+                    eps_rows["first_km"][off : off + b.num_reads],
+                    eps_rows["last_km"][off : off + b.num_reads],
+                ),
             )
             off += b.num_reads
     return graph
@@ -618,9 +629,16 @@ def run_pipeline(
     else:
         f1, f2 = settings.fastq_files()
         with prof.stage("read_mapping"):
+            # first occurrence wins on a duplicated path: same file bytes,
+            # same ReadBatch (get_reads maps each of f1/f2 once)
+            batches_by_path = None
+            if input_batches is not None:
+                batches_by_path = {}
+                for path, b in input_batches:
+                    batches_by_path.setdefault(path, b)
             reads = get_reads(
                 graph, f1, f2, result.cycles, verbose=verbose,
-                batches=input_batches, endpoints=input_endpoints or None,
+                batches=batches_by_path, endpoints=input_endpoints or None,
             )
         prof.count("read_mapping", reads=len(reads))
         if checkpoint_dir:

@@ -307,8 +307,20 @@ def _map_batch(
         return []
 
     if endpoints is not None:
+        from mcaat_tpu.kmer.count import SENTINEL
+
         first_km, last_km = endpoints
-        lengths_full = np.zeros(int(first_km.shape[0]), dtype=np.int32)
+        # bucket-pad the row count (device-side, tiny concat) so the keep
+        # program reuses a handful of compiled shapes across datasets —
+        # the build hands these over at exact per-file sizes, and a fresh
+        # remote compile per novel read count costs 1-500s
+        R_dev = int(first_km.shape[0])
+        R_pad = _bucket_size(max(R_dev, 1))
+        if R_pad > R_dev:
+            pad = jnp.full((R_pad - R_dev,), SENTINEL, first_km.dtype)
+            first_km = jnp.concatenate([first_km, pad])
+            last_km = jnp.concatenate([last_km, pad])
+        lengths_full = np.zeros(R_pad, dtype=np.int32)
         lengths_full[:R_total] = full_batch.lengths
         keep_d = _keep_from_endpoints(
             graph.kmers, first_km, last_km, jnp.asarray(lengths_full),

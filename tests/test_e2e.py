@@ -291,3 +291,25 @@ def test_condensed_region_clip_parity(tmp_path):
         assert a.spacers == b.spacers
         assert a.confidence_cycle_resolution == b.confidence_cycle_resolution
         assert a.confidence_topological_sort == b.confidence_topological_sort
+
+
+def test_duplicate_input_file_doubles_multiplicity(tmp_path):
+    """A path listed twice contributes its reads twice (the reference
+    loops over listed files, src/tmp_utils.cpp:8-24) — a path-keyed dict
+    once halved duplicate files' multiplicities."""
+    from mcaat_tpu.pipeline import build_graph_from_settings
+
+    meta = make_metagenome(seed=31, n_arrays=1, n_spacers=4, coverage=12.0)
+    fq = str(tmp_path / "reads.fq")
+    write_fastq(fq, meta["reads"])
+    g1 = build_graph_from_settings(
+        Settings(input_files=fq, output_file=str(tmp_path / "a.txt"))
+    )
+    g2 = build_graph_from_settings(
+        Settings(input_files=f"{fq} {fq}", output_file=str(tmp_path / "b.txt"))
+    )
+    assert g2.size == g1.size
+    np.testing.assert_array_equal(np.asarray(g2.kmers), np.asarray(g1.kmers))
+    np.testing.assert_array_equal(
+        np.asarray(g2.mult), 2 * np.asarray(g1.mult)
+    )
