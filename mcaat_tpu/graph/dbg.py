@@ -566,17 +566,13 @@ def build_dbg_from_reads(
         lengths2[:R] = lengths_np
         codes_np, lengths_np = codes2, lengths2
 
-    from mcaat_tpu.kmer.count import revcomp_kmers, upload_codes
+    from mcaat_tpu.kmer.count import (
+        extract_first_kmer,
+        extract_last_kmer,
+        revcomp_kmers,
+        upload_codes,
+    )
 
-    codes_j = upload_codes(codes_np)  # 2-bit packed over the tunnel (4x)
-    lengths_j = jnp.asarray(lengths_np)
-    if endpoints_out is not None:
-        # BEFORE any engine-specific row doubling: rows must align with
-        # the caller's input rows
-        from mcaat_tpu.kmer.count import extract_first_kmer, extract_last_kmer
-
-        endpoints_out["first_km"] = extract_first_kmer(codes_j, lengths_j, k)
-        endpoints_out["last_km"] = extract_last_kmer(codes_j, lengths_j, k)
     # The RC strand never materializes as a code matrix: the RC read's
     # window multiset is the elementwise revcomp_kmers of the forward
     # windows (and its last k-window is the RC of the forward FIRST
@@ -586,41 +582,85 @@ def build_dbg_from_reads(
     add_rc = add_reverse_complement
     if engine is None:
         engine = BUILD_ENGINE
-    if add_rc and engine == "inst":
-        codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)
-        codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
-        lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
-        add_rc = False
-    if verbose and lengths_j.size:
-        _ = int(lengths_j[0])  # materialize: dispatch is async (and
-        # block_until_ready is unreliable over the tunnel)
-    _tick("upload")
 
     # window cap from the TRUE max read length: the bucketed column pad
     # (L=100 -> 128) would otherwise inflate every window-multiset sort
     # by the pad ratio (~35% dead SENTINEL windows)
     max_true = int(lengths_np.max()) if lengths_np.size else 0
     w24 = max((max_true - k + 7) // 8 * 8, 8)
+    R_rows, L_cols = codes_np.shape
     n_windows = (
-        int(codes_j.shape[0])
-        * min(max(int(codes_j.shape[1]) - k, 0), w24)
-        * (2 if add_rc else 1)
+        R_rows * min(max(L_cols - k, 0), w24) * (2 if add_rc else 1)
     )
-    if chunk_windows and n_windows > chunk_windows:
+    use_parts = (
+        bool(chunk_windows) and n_windows > chunk_windows and engine != "inst"
+    )
+    last = None
+
+    if use_parts:
         # memory-bounded multi-pass counting. The single-pass sort peak
         # fits a 16GB v5e chip up to a measured 432M windows (480M OOMs
         # — scripts/exp_ceiling_r3.py); the 384M default budget leaves
-        # margin for the downstream table/adjacency working set.
-        from mcaat_tpu.kmer.count import count_edges_chunked
+        # margin for the downstream table/adjacency working set. Row
+        # parts upload SEPARATELY (device_put is async) so part i+1's
+        # ~50MB/s tunnel transfer overlaps part i's count — the old
+        # monolithic upload serialized ~5s of transfer in front of the
+        # 600M-window build.
+        from mcaat_tpu.kmer.count import count_edges_parts
 
-        windows_per_row = max(min(int(codes_j.shape[1]) - k, w24), 1) * (
-            2 if add_rc else 1
-        )
+        windows_per_row = max(min(L_cols - k, w24), 1) * (2 if add_rc else 1)
         chunk_rows = max(chunk_windows // windows_per_row, 1)
-        u24, c24, n24 = count_edges_chunked(codes_j, lengths_j, k, chunk_rows,
-                                            w_cap=w24, verbose=verbose,
-                                            add_rc=add_rc)
+        n_chunks = (R_rows + chunk_rows - 1) // chunk_rows
+        parts = []
+        for ci in range(n_chunks):
+            c_np = codes_np[ci * chunk_rows : (ci + 1) * chunk_rows]
+            l_np = lengths_np[ci * chunk_rows : (ci + 1) * chunk_rows]
+            if c_np.shape[0] < chunk_rows:  # pad the tail part only
+                c2 = np.zeros((chunk_rows, L_cols), dtype=np.uint8)
+                c2[: c_np.shape[0]] = c_np
+                l2 = np.zeros((chunk_rows,), dtype=np.int32)
+                l2[: l_np.shape[0]] = l_np
+                c_np, l_np = c2, l2
+            parts.append((upload_codes(c_np), jnp.asarray(l_np)))
+        firsts = [extract_first_kmer(c, l, k) for c, l in parts]
+        lasts_f = [extract_last_kmer(c, l, k) for c, l in parts]
+        if endpoints_out is not None:
+            # concatenated rows align with the caller's input rows (the
+            # caller slices off any tail padding)
+            endpoints_out["first_km"] = jnp.concatenate(firsts)
+            endpoints_out["last_km"] = jnp.concatenate(lasts_f)
+        _tick("upload (dispatch; transfers overlap the counts)")
+        u24, c24, n24 = count_edges_parts(
+            parts, k, w_cap=w24, add_rc=add_rc, verbose=verbose
+        )
         _tick(f"edge count (chunked, {n24} unique)")
+        last = jnp.concatenate(lasts_f)
+        if add_rc:
+            # the RC strand's last k-window == RC of the forward FIRST
+            last = jnp.concatenate(
+                [last] + [revcomp_kmers(f, k) for f in firsts]
+            )
+        del parts, firsts, lasts_f
+    else:
+        codes_j = upload_codes(codes_np)  # 2-bit packed over the tunnel
+        lengths_j = jnp.asarray(lengths_np)
+        if endpoints_out is not None:
+            # BEFORE any engine-specific row doubling: rows must align
+            # with the caller's input rows
+            endpoints_out["first_km"] = extract_first_kmer(codes_j, lengths_j, k)
+            endpoints_out["last_km"] = extract_last_kmer(codes_j, lengths_j, k)
+        if add_rc and engine == "inst":
+            codes_rc, lengths_rc = _reverse_complement_batch(codes_j, lengths_j)
+            codes_j = jnp.concatenate([codes_j, codes_rc], axis=0)
+            lengths_j = jnp.concatenate([lengths_j, lengths_rc], axis=0)
+            add_rc = False
+        if verbose and lengths_j.size:
+            _ = int(lengths_j[0])  # materialize: dispatch is async (and
+            # block_until_ready is unreliable over the tunnel)
+        _tick("upload")
+
+    if use_parts:
+        pass  # counted above
     elif engine == "inst":
         from mcaat_tpu.kmer.count import count_unique_with_ids
 
@@ -665,12 +705,13 @@ def build_dbg_from_reads(
     e_keep = _bucket_size(n24_i) if bucket_shapes else max(n24_i, 1)
     e_keep = min(e_keep, int(u24.shape[0]))
     u24s, c24s = u24[:e_keep], c24[:e_keep]
-    last = extract_last_kmer(codes_j, lengths_j, k)
-    if add_rc:
-        # the RC strand's last k-window == RC of the forward FIRST window
-        last = jnp.concatenate(
-            [last, revcomp_kmers(extract_first_kmer(codes_j, lengths_j, k), k)]
-        )
+    if last is None:
+        last = extract_last_kmer(codes_j, lengths_j, k)
+        if add_rc:
+            # the RC strand's last k-window == RC of the forward FIRST
+            last = jnp.concatenate(
+                [last, revcomp_kmers(extract_first_kmer(codes_j, lengths_j, k), k)]
+            )
     u_l, c_l, n_l = count_unique(last)
     if bucket_shapes:
         u_l, c_l, _ = _bucket_slice(u_l, c_l, int(n_l))

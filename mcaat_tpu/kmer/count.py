@@ -550,6 +550,59 @@ def count_edges_chunked(codes, lengths, k: int, chunk_rows: int,
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w_cap", "add_rc"))
+def _count_edge_part(codes, lengths, k: int, w_cap, add_rc: bool = False):
+    """(k+1)-mer count of one PRE-UPLOADED row part (fixed shape across
+    parts — the per-part twin of :func:`_count_edge_chunk`, for callers
+    that upload row ranges separately so the tunnel transfer of part i+1
+    overlaps part i's count)."""
+    km1 = extract_kmers(codes, lengths, k + 1, w_cap=w_cap).reshape(-1)
+    if add_rc:
+        km1 = jnp.concatenate([km1, revcomp_kmers(km1, k + 1)])
+    return count_unique(km1)
+
+
+def count_edges_parts(parts, k: int, w_cap: int | None = None,
+                      add_rc: bool = False, verbose: bool = False):
+    """Memory-bounded (k+1)-mer counting over per-part device arrays.
+
+    ``parts`` is ``[(codes_j, lengths_j)]`` with IDENTICAL shapes (tail
+    part zero-padded by the caller). Same merge-stack reduction as
+    :func:`count_edges_chunked`; the difference is purely that the parts
+    were uploaded separately — device_put is async, so part i+1's ~50MB/s
+    tunnel transfer rides under part i's count instead of serializing in
+    front of the whole build (measured ~5s of the 600M-window upload
+    tick).
+    """
+    import time
+
+    stack: list = []
+    t0 = time.perf_counter()
+    t_merge = 0.0
+    for codes_j, lengths_j in parts:
+        u, cnt, nu = _count_edge_part(codes_j, lengths_j, k, w_cap, add_rc)
+        nu_i = int(nu)
+        u, cnt, _ = _bucket_slice(u, cnt, nu_i)
+        tm = time.perf_counter()
+        _merge_stack_push(stack, u, cnt, nu_i)
+        t_merge += time.perf_counter() - tm
+    if verbose:
+        t1 = time.perf_counter()
+        spilled = sum(1 for p in stack if isinstance(p[0], np.ndarray))
+        print(
+            f"    [build]   {len(parts)} part counts: {t1 - t0 - t_merge:.2f}s"
+            f" + interleaved merges: {t_merge:.2f}s"
+            f" (stack={len(stack)}, host-spilled={spilled})",
+            flush=True,
+        )
+        t0 = t1
+    res = _merge_stack_drain(stack)
+    if verbose:
+        _ = int(res[0][0]) if res[0].shape[0] else 0  # materialize
+        print(f"    [build]   final merge: {time.perf_counter() - t0:.2f}s", flush=True)
+    return res
+
+
 def count_kmers_for_reads(
     codes: np.ndarray, lengths: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

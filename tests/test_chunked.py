@@ -59,3 +59,29 @@ def test_build_with_chunking_matches():
     assert (np.asarray(chunked.mult) == np.asarray(ref.mult)).all()
     assert (np.asarray(chunked.out) == np.asarray(ref.out)).all()
     assert (np.asarray(chunked.in_) == np.asarray(ref.in_)).all()
+
+
+def test_chunked_endpoints_match_single_pass():
+    """The parted upload path must hand back the same per-row endpoint
+    k-mers as the monolithic upload (tail padding rows excluded)."""
+    rng = np.random.default_rng(5)
+    seqs = [
+        "".join("ACGT"[i] for i in rng.integers(0, 4, size=40))
+        for _ in range(60)
+    ]
+    b = encode_sequences(seqs)
+    eps_ref: dict = {}
+    build_dbg_from_reads(
+        b.codes, b.lengths, k=23, add_reverse_complement=True,
+        bucket_shapes=False, chunk_windows=0, endpoints_out=eps_ref,
+    )
+    eps_chk: dict = {}
+    build_dbg_from_reads(
+        b.codes, b.lengths, k=23, add_reverse_complement=True,
+        bucket_shapes=False, chunk_windows=500, endpoints_out=eps_chk,
+    )
+    R = b.num_reads
+    for key in ("first_km", "last_km"):
+        np.testing.assert_array_equal(
+            np.asarray(eps_chk[key])[:R], np.asarray(eps_ref[key])[:R], key
+        )
