@@ -344,12 +344,18 @@ def undirected_region_mask(
         # between phases: with a large frontier (e.g. the 199k cycle-node
         # seeds of the 600M-window run, which saturate their region after
         # 1-2 hops and collapse to ~1.3k) run SHORT phases so the cap can
-        # adapt down before paying 6 levels at full width
-        levels = min(
-            _REGION_PHASE_LEVELS if count <= 32_768 else 2, remaining
-        )
+        # adapt down before paying 6 levels at full width; once the cap
+        # is small the per-phase ~80ms tunnel dispatch dominates, so pack
+        # MANY levels per program (4096-cap x 24 levels is still tiny)
         want = _bucket_size(max(4 * count, 4096))
         cap = min(want, _bucket_size(4 * n))
+        if count > 32_768:
+            levels = 2
+        elif cap <= 16_384:
+            levels = 4 * _REGION_PHASE_LEVELS
+        else:
+            levels = _REGION_PHASE_LEVELS
+        levels = min(levels, remaining)
         done = False
         while not done:
             frontier_j = _resize_frontier(frontier_j, cap, jnp.int32(n))

@@ -602,10 +602,10 @@ def build_dbg_from_reads(
         # fits a 16GB v5e chip up to a measured 432M windows (480M OOMs
         # — scripts/exp_ceiling_r3.py); the 384M default budget leaves
         # margin for the downstream table/adjacency working set. Row
-        # parts upload SEPARATELY (device_put is async) so part i+1's
-        # ~50MB/s tunnel transfer overlaps part i's count — the old
-        # monolithic upload serialized ~5s of transfer in front of the
-        # 600M-window build.
+        # parts upload SEPARATELY: measured NO transfer/compute overlap
+        # over the remote tunnel (the stream serializes them), but the
+        # parted path avoids the monolithic full-matrix host pack/copy
+        # and bounds per-part host staging.
         from mcaat_tpu.kmer.count import count_edges_parts
 
         windows_per_row = max(min(L_cols - k, w24), 1) * (2 if add_rc else 1)

@@ -568,11 +568,13 @@ def count_edges_parts(parts, k: int, w_cap: int | None = None,
 
     ``parts`` is ``[(codes_j, lengths_j)]`` with IDENTICAL shapes (tail
     part zero-padded by the caller). Same merge-stack reduction as
-    :func:`count_edges_chunked`; the difference is purely that the parts
-    were uploaded separately — device_put is async, so part i+1's ~50MB/s
-    tunnel transfer rides under part i's count instead of serializing in
-    front of the whole build (measured ~5s of the 600M-window upload
-    tick).
+    :func:`count_edges_chunked`; the difference is that the parts were
+    uploaded separately. MEASURED OUTCOME (600M windows, v5e tunnel):
+    transfer does NOT overlap device execution — the remote stream
+    serializes them, so the bytes just moved from the upload tick into
+    the count tick (26.6s -> 25.4s total, within run variance). Kept
+    because it also removes the monolithic full-matrix host pack/copy
+    and keeps per-part host memory bounded.
     """
     import time
 
