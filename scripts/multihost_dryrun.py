@@ -38,7 +38,16 @@ K = 13
 def parent() -> int:
     from synthetic import make_metagenome, write_fastq
 
-    meta = make_metagenome(seed=41, n_arrays=1, n_spacers=4, coverage=25.0)
+    # MCAAT_MH_ARRAYS / MCAAT_MH_BACKGROUND scale the dataset (default:
+    # the small CI configuration; scripts/multihost_big.py-style runs
+    # pass larger values for scaling artifacts)
+    meta = make_metagenome(
+        seed=41,
+        n_arrays=int(os.environ.get("MCAAT_MH_ARRAYS", "1")),
+        n_spacers=4,
+        coverage=25.0,
+        background_len=int(os.environ.get("MCAAT_MH_BACKGROUND", "2000")),
+    )
     tmpdir = tempfile.mkdtemp(prefix="mcaat_mh_")
     fq = os.path.join(tmpdir, "reads.fq")
     write_fastq(fq, meta["reads"])
@@ -138,8 +147,10 @@ def child() -> int:
     assert batch.num_reads > 0, "empty host shard"
     g_codes, g_lengths = host_local_rows_to_global(mesh, batch.codes, batch.lengths)
 
+    route_cap = int(os.environ.get("MCAAT_MH_ROUTE_CAP", str(1 << 13)))
+    shard_cap = int(os.environ.get("MCAAT_MH_SHARD_CAP", str(1 << 13)))
     sg, dropped = build_sharded_dbg(
-        mesh, g_codes, g_lengths, k=K, route_cap=1 << 13, shard_cap=1 << 13
+        mesh, g_codes, g_lengths, k=K, route_cap=route_cap, shard_cap=shard_cap
     )
     assert dropped == 0, dropped
     # the table must be truly sharded across processes — each process can
