@@ -152,6 +152,13 @@ def remap_to_local(gids: np.ndarray, a: np.ndarray) -> np.ndarray:
     entries outside ``gids`` (and negatives) become -1. Shared by the
     single-device and sharded subgraph compactions.
 
+    PRECONDITION: ``gids`` must be sorted ascending AND duplicate-free
+    (every caller passes ``np.nonzero`` outputs, which are both). The
+    dense fast path derives its table bound from ``gids[-1]`` and
+    scatters ranks by position, so an unsorted or duplicated input would
+    silently return wrong local ids; the searchsorted fallback would
+    return the first duplicate's rank.
+
     Bulk lookups take a dense scatter/gather map (host binary search ran
     3.8s for 7.9M chain entries at the 600M-window shapes; the dense map
     is ~0.2s) when the id range keeps the map under 2 GB; sparse/huge
@@ -159,6 +166,10 @@ def remap_to_local(gids: np.ndarray, a: np.ndarray) -> np.ndarray:
     if len(gids) == 0:
         return np.full(a.shape, -1, dtype=np.int32)
     hi = int(gids[-1]) + 1
+    # cheap guard for the precondition (O(1), vs the O(n) map build):
+    # sorted-unique implies gids[-1] is the max and len(gids) ids fit
+    # strictly below hi
+    assert len(gids) <= hi, "remap_to_local: gids not sorted-unique"
     if a.size >= 4 * len(gids) and hi <= (1 << 29):
         # np.zeros = calloc (lazy zero pages; np.full's eager -1 fill
         # alone cost 2.2s at 100M ids on this host) — store local+1 so

@@ -478,8 +478,11 @@ def build_dbg(
     # buckets on a 16GB v5e — 8.4s vs 13.5s for 16M-edge chunks, which
     # re-sort the node table once per chunk (scripts/exp_adj_r3.py). The
     # 96M cutoff stays inside the measured bucket band (bucket(96M) =
-    # the same 100.7M rows the fit was measured at).
-    if int(n_edges) > 96_000_000:
+    # the same 100.7M rows the fit was measured at). WITHOUT u_id the
+    # join is two-sided (N+2E sort rows) and the 16GB fit was never
+    # measured past ~32M edges — keep the old cutoff there.
+    single_shot_max = 96_000_000 if u_id is not None else 32_000_000
+    if int(n_edges) > single_shot_max:
         out, in_ = build_adjacency_chunked(
             kmers23, edges24, int(n_edges), k=k, u_id=u_id
         )
@@ -592,9 +595,17 @@ def build_dbg_from_reads(
     n_windows = (
         R_rows * min(max(L_cols - k, 0), w24) * (2 if add_rc else 1)
     )
-    use_parts = (
-        bool(chunk_windows) and n_windows > chunk_windows and engine != "inst"
-    )
+    use_parts = bool(chunk_windows) and n_windows > chunk_windows
+    if use_parts and engine == "inst":
+        # the inst engine has no memory-bounded counting path: running it
+        # single-pass at scales the chunk budget exists for would OOM HBM
+        # (the budget marks the measured ~432M-window single-pass ceiling)
+        raise ValueError(
+            f"engine='inst' has no chunked counting path: {n_windows} "
+            f"windows exceeds the {chunk_windows}-window single-pass "
+            "budget (use engine='join' or raise chunk_windows)"
+        )
+    use_parts = use_parts and engine != "inst"
     last = None
 
     if use_parts:

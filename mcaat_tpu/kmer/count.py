@@ -260,11 +260,17 @@ def _compact_counted_sorted(keys, cnts, max_run: int):
     merge on v5e). CORRECTNESS CONTRACT: a key occurring more than
     ``max_run`` times is silently under-counted — callers must bound run
     lengths structurally (see :func:`merge_counted`,
-    :func:`derive_nodes_from_edges`).
+    :func:`derive_nodes_from_edges`). The returned ``overflow`` scalar
+    counts positions whose run EXCEEDS ``max_run`` (nonzero ⇒ the
+    contract was violated and counts are corrupt); host sync points that
+    already materialize ``n_unique`` assert it is zero for ~free.
     """
     is_head = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     is_head &= keys != SENTINEL
     n_unique = jnp.sum(is_head.astype(jnp.int32))
+    overflow = jnp.sum(
+        (keys[max_run:] == keys[:-max_run]) & (keys[max_run:] != SENTINEL)
+    ).astype(jnp.int32)
     cz = jnp.where(keys == SENTINEL, 0, cnts)
     run_sum = cz
     for j in range(1, max_run):
@@ -277,7 +283,7 @@ def _compact_counted_sorted(keys, cnts, max_run: int):
         (jnp.where(is_head, keys, SENTINEL), jnp.where(is_head, run_sum, 0)),
         num_keys=1,
     )
-    return unique, counts, n_unique, is_head
+    return unique, counts, n_unique, is_head, overflow
 
 
 @jax.jit
@@ -287,13 +293,18 @@ def merge_counted(unique_a, counts_a, unique_b, counts_b):
     Both inputs are UNIQUE tables, so after the merge sort each key
     appears at most twice — the bounded-run compaction is 2 sorts +
     elementwise only (the prior generic run compaction measured 9s vs
-    1.6s at 2x67M-row buckets on v5e).
+    1.6s at 2x67M-row buckets on v5e). Returns ``(unique, counts,
+    n_unique, overflow)``; ``overflow`` is nonzero iff an input was NOT
+    a unique table (counts are then corrupt — callers assert it at the
+    host sync that materializes ``n_unique``).
     """
     keys = jnp.concatenate([unique_a, unique_b])
     cnts = jnp.concatenate([counts_a, counts_b])
     keys, cnts = jax.lax.sort((keys, cnts), num_keys=1)
-    unique, counts, n_unique, _ = _compact_counted_sorted(keys, cnts, max_run=2)
-    return unique, counts, n_unique
+    unique, counts, n_unique, _, overflow = _compact_counted_sorted(
+        keys, cnts, max_run=2
+    )
+    return unique, counts, n_unique, overflow
 
 
 @jax.jit
@@ -343,7 +354,11 @@ def derive_nodes_from_edges(u_k1, c_k1, n_k1, u_last, c_last):
     k_s, c_s, o_s = jax.lax.sort((keys_m, cnts_m, orig_m), num_keys=1)
     # run bound: ≤4 duplicate prefixes (sorted (k+1)-mers share a k-prefix
     # in groups of ≤4) + ≤1 row from the unique last-window table
-    u_k, c_k, n_k, is_head_m = _compact_counted_sorted(k_s, c_s, max_run=5)
+    # the <=5 run bound is structural (u_k1 unique ⇒ ≤4 same-prefix rows,
+    # u_last unique ⇒ ≤1 more), so the overflow scalar is discarded here
+    u_k, c_k, n_k, is_head_m, _ovf = _compact_counted_sorted(
+        k_s, c_s, max_run=5
+    )
     # every row of a run (head or not) reads its run's final rank off the
     # head cumsum, so each prefix-side row directly carries its node id
     rank_m = (jnp.cumsum(is_head_m.astype(jnp.int32)) - 1).astype(jnp.int32)
@@ -392,10 +407,11 @@ def _merge_two(a, b):
     """Merge two (u, c, n, level) stack entries -> one at level+1."""
     ua, ca, _na, la = a
     ub, cb, _nb, lb = b
-    mu, mc, mn = merge_counted(
+    mu, mc, mn, ovf = merge_counted(
         jnp.asarray(ua), jnp.asarray(ca), jnp.asarray(ub), jnp.asarray(cb)
     )
     mn_i = int(mn)
+    assert int(ovf) == 0, "merge_counted fed a non-unique table"
     mu, mc, _ = _bucket_slice(mu, mc, mn_i)
     return [mu, mc, mn_i, max(la, lb) + 1]
 

@@ -18,6 +18,11 @@ from typing import Optional
 class CycleFinderSettings:
     # Defaults: reference include/settings.h:33-38
     threshold_multiplicity: int = 20
+    # Parsed + stored but DELIBERATELY unwired — faithful to the
+    # reference, where the flag only gates a *redundant second*
+    # InvalidateMultiplicityOneNodes call (src/cycle_finder.cpp:391-393);
+    # the unconditional call at :439 already ran, so the gated one is a
+    # no-op either way. Kept so settings files round-trip identically.
     low_abundance: bool = True
     cycle_max_length: int = 77
     cycle_min_length: int = 27

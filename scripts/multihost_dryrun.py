@@ -204,7 +204,9 @@ def child() -> int:
     )
 
     # FULL multi-host pipeline: distributed build over both processes,
-    # replicate, host-local downstream, process 0 writes the report
+    # then the SHARDED downstream (no replication, no full-graph
+    # compaction — every process replays the same host orchestration
+    # over the same collectives); process 0 writes the report
     from mcaat_tpu.parallel.multihost import run_pipeline_multihost
     from mcaat_tpu.settings import Settings
 

@@ -18,10 +18,22 @@ def test_merge_counted():
     ca = jnp.array([1, 2, 3], dtype=jnp.int32)
     ub = jnp.array([2, 7, 9], dtype=jnp.int64)
     cb = jnp.array([4, 5, 6], dtype=jnp.int32)
-    u, c, n = merge_counted(ua, ca, ub, cb)
+    u, c, n, ovf = merge_counted(ua, ca, ub, cb)
     n = int(n)
     assert u[:n].tolist() == [2, 5, 7, 9]
     assert c[:n].tolist() == [5, 2, 5, 9]
+    assert int(ovf) == 0
+
+
+def test_merge_counted_overflow_guard():
+    # a NON-unique input violates the bounded-run contract; the overflow
+    # scalar must flag it (counts are corrupt in that case)
+    ua = jnp.array([2, 2, 9], dtype=jnp.int64)
+    ca = jnp.array([1, 2, 3], dtype=jnp.int32)
+    ub = jnp.array([2, 7, 9], dtype=jnp.int64)
+    cb = jnp.array([4, 5, 6], dtype=jnp.int32)
+    _u, _c, _n, ovf = merge_counted(ua, ca, ub, cb)
+    assert int(ovf) > 0
 
 
 def test_chunked_matches_single_pass():
