@@ -226,8 +226,6 @@ def run_pipeline_multihost(settings, verbose: bool = True):
     import jax
     from jax.experimental import multihost_utils
 
-    from mcaat_tpu.graph.dbg import _bucket_size
-    from mcaat_tpu.io.fastq import ReadBatch, reverse_complement_batch
     from mcaat_tpu.parallel.sharded_graph import build_sharded_dbg
     from mcaat_tpu.parallel.sharded_pipeline import run_sharded_downstream
 
@@ -235,45 +233,32 @@ def run_pipeline_multihost(settings, verbose: bool = True):
     n_proc = jax.process_count()
     mesh = make_global_mesh()
 
-    # per-host record ranges of every input file
+    # per-host record ranges of every input file (kept for the mapper:
+    # each host later maps ONLY its own record range — no re-parse)
     batches = []
     for path in settings.input_file_list():
         b = read_host_shard(path, pid, n_proc)
-        if b.num_reads:
-            batches.append(b)
-    max_len = max((b.max_len for b in batches), default=0)
-    n_rows = sum(b.num_reads for b in batches)
+        batches.append((path, b))
+    max_len = max((b.max_len for _p, b in batches if b.num_reads), default=0)
+    n_rows = sum(b.num_reads for _p, b in batches)
     codes = np.zeros((n_rows, max_len), dtype=np.uint8)
     lengths = np.zeros(n_rows, dtype=np.int32)
     row = 0
-    for b in batches:
+    for _path, b in batches:
+        if not b.num_reads:
+            continue
         codes[row : row + b.num_reads, : b.max_len] = b.codes
         lengths[row : row + b.num_reads] = b.lengths
         row += b.num_reads
-    if settings.add_reverse_complement:
-        rc = reverse_complement_batch(ReadBatch(codes=codes, lengths=lengths))
-        codes = np.concatenate([codes, rc.codes], axis=0)
-        lengths = np.concatenate([lengths, rc.lengths], axis=0)
 
-    g_codes, g_lengths = host_local_rows_to_global(mesh, codes, lengths)
-    R_g, L_g = g_codes.shape
-    k = 23
-    windows = R_g * max(L_g - k + 1, 0)
-    kp = mesh.shape["kp"]
-    route_cap = _bucket_size(max(windows // (mesh.shape["dp"] * kp), 1))
-    shard_cap = _bucket_size(max(windows // kp, 1) * 2)
-    sg = None
-    for _attempt in range(3):
-        cand, dropped = build_sharded_dbg(
-            mesh, g_codes, g_lengths, k=k,
-            route_cap=route_cap, shard_cap=min(shard_cap, _bucket_size(windows)),
-        )
-        if dropped == 0:
-            sg = cand
-            break
-        route_cap *= 2
-        shard_cap *= 2
-    if sg is None:
+    # the RC strand is bit math inside the build (no RC code matrix);
+    # row parts lift to the mesh inside build_sharded_dbg, and the shard
+    # capacity is node-proportional (counted live rows)
+    sg, dropped = build_sharded_dbg(
+        mesh, codes, lengths, k=23,
+        add_rc=settings.add_reverse_complement,
+    )
+    if dropped != 0:
         raise RuntimeError("multi-host sharded build overflowed its capacities")
     if verbose and pid == 0:
         print(f"Multi-host graph built over {dict(mesh.shape)} "

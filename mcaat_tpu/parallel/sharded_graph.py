@@ -34,8 +34,11 @@ from mcaat_tpu.kmer.count import (
     SENTINEL,
     count_unique,
     derive_nodes_from_edges,
+    extract_first_kmer,
     extract_kmers,
     extract_last_kmer,
+    merge_counted,
+    revcomp_kmers,
 )
 from mcaat_tpu.parallel.sharded import _bucket_by_owner, _owner_shift
 
@@ -76,6 +79,7 @@ class ShardedDBG:
     in_: jax.Array  # int32 [kp, 4T] flat GLOBAL node ids, -1 absent
     valid: jax.Array  # bool  [kp, T]
     route_cap: int = 0  # all_to_all bucket capacity the build used
+    n_live: np.ndarray | None = None  # int [kp] live rows per shard
     # adjacency is flat (slot 4*local+base): a materialized [T,4] int32
     # buffer on TPU pads the minor dim 4 -> 128 lanes (32x HBM)
 
@@ -85,6 +89,8 @@ class ShardedDBG:
 
     @property
     def n_nodes(self) -> int:
+        if self.n_live is not None:
+            return int(self.n_live.sum())
         return int(jnp.sum(self.kmers != SENTINEL))
 
     def to_single_device(self):
@@ -99,68 +105,160 @@ class ShardedDBG:
         )  # host reshape to [.,4] is numpy — unpadded
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mesh", "k", "route_cap", "shard_cap")
-)
-def build_sharded_dbg_arrays(
-    mesh: Mesh,
-    codes: jax.Array,
-    lengths: jax.Array,
-    k: int,
-    route_cap: int = 1 << 16,
-    shard_cap: int = 1 << 16,
-):
-    """Distributed graph build over the ("dp", "kp") mesh.
+# ---------------------------------------------------------------------------
+# Two-phase distributed build: count → size capacity from LIVE rows → adjacency
+# ---------------------------------------------------------------------------
 
-    Returns (kmers [kp,T], mult [kp,T], out [kp,T,4], dropped scalar).
+# Per-part budget on the per-shard counting input (rows fed to one
+# per-shard count_unique sort). The single-pass sort ceiling on a 16 GB
+# v5e is a measured ~432M rows (scripts/exp_ceiling_r3.py); 192M leaves
+# headroom for the resident merge-stack parts + the final tables.
+SHARDED_COUNT_SHARD_ROWS = 192_000_000
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "route_cap", "route_cap_last", "add_rc"),
+)
+def _sharded_route_part(
+    mesh: Mesh,
+    codes: jax.Array,  # uint8 [R, L] sharded over ("dp","kp") rows
+    lengths: jax.Array,  # int32 [R]
+    k: int,
+    route_cap: int,
+    route_cap_last: int,
+    add_rc: bool = False,
+):
+    """Route one row part's (k+1)-mer edges + last k-windows to owners.
+
+    An edge shares its top bits with its source k-mer, so every node
+    k-mer reaches its owner shard as a prefix of a routed edge or as a
+    routed last window — the k-window multiset itself (the largest
+    array) never crosses the interconnect. With ``add_rc`` the reverse
+    strand joins as pure bit math (its edge multiset is the elementwise
+    RC of the forward edges; its last k-window is the RC of the forward
+    FIRST window) — no RC code matrix is materialized or uploaded.
+
+    Returns (a24 [kp, dp*kp*route_cap], a_l [kp, dp*kp*route_cap_last],
+    dropped) — per-shard routed multisets, SENTINEL-padded.
     """
     kp = mesh.shape["kp"]
     shift23 = _owner_shift(k, kp)
     shift24 = _owner_shift(k + 1, kp)
-    T = shard_cap
-    mask_k = (np.int64(1) << np.int64(2 * k)) - 1
 
     def step(codes_local, lengths_local):
-        my_kp = jax.lax.axis_index("kp")
-        # ---- distributed counting: route ONLY the 24-mer edges and each
-        # read's last 23-window. An edge shares its top bits with its
-        # source 23-mer, so every node k-mer reaches its owner shard as a
-        # prefix of a routed edge or as a routed last window — the full
-        # 23-mer window multiset (the largest array, ~window-count rows)
-        # never crosses the interconnect, and the node table derives
-        # shard-locally from the unique edge table (derive_nodes_from_edges)
         km24 = extract_kmers(codes_local, lengths_local, k + 1).reshape(-1)
         last23 = extract_last_kmer(codes_local, lengths_local, k)
+        if add_rc:
+            km24 = jnp.concatenate([km24, revcomp_kmers(km24, k + 1)])
+            first23 = extract_first_kmer(codes_local, lengths_local, k)
+            last23 = jnp.concatenate([last23, revcomp_kmers(first23, k)])
         s24, d24 = _bucket_by_owner(km24, kp, shift24, route_cap)
-        s_l, d_l = _bucket_by_owner(last23, kp, shift23, route_cap)
+        s_l, d_l = _bucket_by_owner(last23, kp, shift23, route_cap_last)
         r24 = jax.lax.all_to_all(s24[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
         r_l = jax.lax.all_to_all(s_l[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
         a24 = jax.lax.all_gather(r24, "dp", tiled=True)
         a_l = jax.lax.all_gather(r_l, "dp", tiled=True)
-        u24, c24, n24 = count_unique(a24)
-        u_l, c_l, _n_l = count_unique(a_l)
-        u23f, c23f, _n23, u_id = derive_nodes_from_edges(
-            u24, c24, n24, u_l, c_l
-        )
-        u23 = u23f[:T]
-        c23 = c23f[:T]
-        u_id = u_id[: 4 * T]
-        u24 = u24[: 4 * T]
+        dropped = jax.lax.psum(d24 + d_l, ("dp", "kp"))
+        return a24[None], a_l[None], dropped
 
-        # ---- local out-adjacency (edges are co-located with sources) ---
-        v = u24 & jnp.int64(mask_k)
-        b = (u24 & jnp.int64(3)).astype(jnp.int32)
-        live_e = u24 != SENTINEL
-        # source ids come from the derivation; ids beyond the shard
-        # capacity T are dropped (same overflow contract as the table slice)
-        u_pos_c = jnp.minimum(jnp.maximum(u_id, 0), T - 1)
-        u_ok = live_e & (u_id >= 0) & (u_id < T)
-        # v may live anywhere: route v to its owner, get global ids back
-        v_gid = _routed_lookup(u23, jnp.where(u_ok, v, SENTINEL), kp, shift23,
-                               route_cap, T, my_kp)
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(("dp", "kp"), None), P(("dp", "kp"))),
+        out_specs=(P("kp", None), P("kp", None), P()),
+        check_vma=False,
+    )
+    return fn(codes, lengths)
+
+
+# Per-shard (batched over the kp axis, zero-communication) table kernels:
+# vmap over the shard axis + GSPMD keeps each row's sort/merge/derive on
+# its owner device. These reuse the single-chip kernels verbatim.
+_vcount = jax.jit(jax.vmap(count_unique))
+_vmerge = jax.jit(jax.vmap(merge_counted))
+_vderive = jax.jit(jax.vmap(derive_nodes_from_edges))
+
+
+def _sbucket(n: int) -> int:
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    return _bucket_size(max(int(n), 1))
+
+
+def _smerge_two(mesh: Mesh, a, b):
+    """Merge two sharded (u [kp,C], c, n_dev [kp], n_vec, level) stack
+    entries; the merged table is sliced to the bucketed max live rows."""
+    ua, ca, _nda, _nva, la = a
+    ub, cb, _ndb, _nvb, lb = b
+    mu, mc, mn, ovf = _vmerge(ua, ca, ub, cb)
+    n_vec = host_replicated(mesh, mn)
+    assert int(host_replicated(mesh, ovf).max()) == 0, (
+        "sharded merge fed a non-unique table"
+    )
+    size = min(_sbucket(n_vec.max()), int(mu.shape[1]))
+    return [mu[:, :size], mc[:, :size], mn, n_vec, max(la, lb) + 1]
+
+
+def _sstack_push(mesh: Mesh, stack: list, u, c, n_dev, n_vec):
+    """Binary-counter merge stack over per-shard counted tables (the
+    sharded twin of kmer.count._merge_stack_push; at most ~log2(parts)
+    node-proportional tables are ever alive per shard)."""
+    stack.append([u, c, n_dev, n_vec, 0])
+    while len(stack) >= 2 and stack[-1][4] == stack[-2][4]:
+        b = stack.pop()
+        a = stack.pop()
+        stack.append(_smerge_two(mesh, a, b))
+
+
+def _sstack_drain(mesh: Mesh, stack: list):
+    while len(stack) > 1:
+        b = stack.pop()
+        a = stack.pop()
+        stack.append(_smerge_two(mesh, a, b))
+    u, c, n_dev, n_vec, _ = stack[0]
+    return u, c, n_dev, n_vec
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k", "adj_cap"))
+def _sharded_adjacency(
+    mesh: Mesh,
+    u23: jax.Array,  # int64 [kp, T] final node table
+    u24: jax.Array,  # int64 [kp, C] final unique edge table
+    u_id: jax.Array,  # int32 [kp, C] source node id per edge (-1 dead)
+    k: int,
+    adj_cap: int,
+):
+    """Adjacency assembly at node-proportional capacity T.
+
+    Out-edges are co-located with their source (same top bits); the
+    destination id needs one routed lookup, the in-adjacency one routed
+    (v, base, u_gid) exchange. Returns (out [kp,4T], in_ [kp,4T],
+    dropped) — dropped > 0 means a routing bucket overflowed (caller
+    retries with a doubled ``adj_cap``).
+    """
+    kp = mesh.shape["kp"]
+    T = u23.shape[1]
+    shift23 = _owner_shift(k, kp)
+    mask_k = (np.int64(1) << np.int64(2 * k)) - 1
+
+    def step(u23_l, u24_l, u_id_l):
+        u23_l, u24_l, u_id_l = u23_l[0], u24_l[0], u_id_l[0]
+        my_kp = jax.lax.axis_index("kp")
+        v = u24_l & jnp.int64(mask_k)
+        b = (u24_l & jnp.int64(3)).astype(jnp.int32)
+        # T = bucket(max live) >= every shard's live rows, so u_id < T
+        # always holds for live rows — no overflow drop path remains
+        u_ok = (u24_l != SENTINEL) & (u_id_l >= 0)
+        u_pos_c = jnp.minimum(jnp.maximum(u_id_l, 0), T - 1)
+        v_gid, d_v = _routed_lookup(
+            u23_l, jnp.where(u_ok, v, SENTINEL), kp, shift23, adj_cap, T, my_kp
+        )
         ok = u_ok & (v_gid >= 0)
         dump = jnp.int32(4 * T)
         slots = jnp.where(ok, u_pos_c.astype(jnp.int32) * 4 + b, dump)
+        # u24 sorted ⇒ (prefix rank, base) strictly ascending over live
+        # rows and dead rows sort last ⇒ slots are sorted
         out_flat = (
             jnp.full((4 * T + 1,), -1, dtype=jnp.int32)
             .at[slots]
@@ -170,10 +268,10 @@ def build_sharded_dbg_arrays(
         out_local = out_flat[: 4 * T]
 
         # ---- in-adjacency: route (v, first_base, u_gid) to owner(v) ----
-        first = ((u24 >> jnp.int64(2 * k)) & jnp.int64(3)).astype(jnp.int64)
-        u_gid = (my_kp.astype(jnp.int32) * T + u_pos_c.astype(jnp.int32)).astype(
-            jnp.int64
-        )
+        first = ((u24_l >> jnp.int64(2 * k)) & jnp.int64(3)).astype(jnp.int64)
+        u_gid = (
+            my_kp.astype(jnp.int32) * T + u_pos_c.astype(jnp.int32)
+        ).astype(jnp.int64)
         key = jnp.where(ok, v, SENTINEL)
         payload = jnp.where(ok, u_gid * 4 + first, jnp.int64(-1))
         ownerv = jnp.where(
@@ -186,20 +284,20 @@ def build_sharded_dbg_arrays(
         bounds = jnp.searchsorted(owner_s, jnp.arange(kp + 1, dtype=jnp.int32))
         starts, ends = bounds[:kp], bounds[1:]
         nq = key.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (kp, route_cap), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (kp, adj_cap), 1)
         idx = starts[:, None] + col
         live = idx < ends[:, None]
         idx_c = jnp.minimum(idx, nq - 1)
         send_k = jnp.where(live, key_s[idx_c], SENTINEL)
         send_p = jnp.where(live, pay_s[idx_c], jnp.int64(-1))
-        d_in = jnp.sum(jnp.maximum(ends - starts - route_cap, 0))
+        d_in = jnp.sum(jnp.maximum(ends - starts - adj_cap, 0))
         recv_k = jax.lax.all_to_all(send_k[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
         recv_p = jax.lax.all_to_all(send_p[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
         v_pos = jnp.searchsorted(
-            u23, recv_k, method="sort" if recv_k.size >= 4096 else "scan"
+            u23_l, recv_k, method="sort" if recv_k.size >= 4096 else "scan"
         )
         v_pos_c = jnp.minimum(v_pos, T - 1)
-        hit = (recv_k != SENTINEL) & (u23[v_pos_c] == recv_k) & (recv_p >= 0)
+        hit = (recv_k != SENTINEL) & (u23_l[v_pos_c] == recv_k) & (recv_p >= 0)
         in_slot = jnp.where(
             hit,
             v_pos_c.astype(jnp.int32) * 4 + (recv_p & 3).astype(jnp.int32),
@@ -214,39 +312,25 @@ def build_sharded_dbg_arrays(
             )
         )
         in_local = in_flat[: 4 * T]
-
-        dropped = jax.lax.psum(d_l + d24 + d_in, ("dp", "kp"))
-        return u23[None], c23[None], out_local[None], in_local[None], dropped
+        dropped = jax.lax.psum(d_v + d_in, ("dp", "kp"))
+        return out_local[None], in_local[None], dropped
 
     fn = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(("dp", "kp"), None), P(("dp", "kp"))),
-        out_specs=(
-            P(None, "kp"),
-            P(None, "kp"),
-            P(None, "kp"),
-            P(None, "kp"),
-            P(),
-        ),
+        in_specs=(P("kp", None), P("kp", None), P("kp", None)),
+        out_specs=(P("kp", None), P("kp", None), P()),
         check_vma=False,
     )
-    kmers, mult, out, in_, dropped = fn(codes, lengths)
-    kp_n = mesh.shape["kp"]
-    return (
-        kmers.reshape(kp_n, T),
-        mult.reshape(kp_n, T),
-        out.reshape(kp_n, 4 * T),
-        in_.reshape(kp_n, 4 * T),
-        dropped,
-    )
+    return fn(u23, u24, u_id)
 
 
 def _routed_lookup(table_local, queries, kp, shift, route_cap, T, my_kp):
     """Inside shard_map: route queries to owners, search, route back.
 
-    Returns GLOBAL node ids (owner*T + local pos), -1 for misses, aligned
-    with the input query order.
+    Returns (GLOBAL node ids (owner*T + local pos), -1 for misses,
+    aligned with the input query order; dropped count — queries that
+    overflowed a routing bucket).
     """
     n = queries.shape[0]
     owner = jnp.where(
@@ -262,6 +346,7 @@ def _routed_lookup(table_local, queries, kp, shift, route_cap, T, my_kp):
     live = idx < ends[:, None]
     idx_c = jnp.minimum(idx, n - 1)
     send = jnp.where(live, q_sorted[idx_c], SENTINEL)
+    dropped = jnp.sum(jnp.maximum(ends - starts - route_cap, 0))
 
     recv = jax.lax.all_to_all(send[None], "kp", 1, 1, tiled=False)[0]
     flat = recv.reshape(-1)
@@ -277,7 +362,23 @@ def _routed_lookup(table_local, queries, kp, shift, route_cap, T, my_kp):
     out_sorted = out_sorted.at[
         jnp.where(live, idx_c, n).reshape(-1)
     ].set(back.reshape(-1), mode="drop")
-    return jnp.zeros((n,), jnp.int32).at[order].set(out_sorted)
+    return jnp.zeros((n,), jnp.int32).at[order].set(out_sorted), dropped
+
+
+def _lift_part(mesh: Mesh, codes_p: np.ndarray, lengths_p: np.ndarray):
+    """Lift one per-process row part into global ("dp","kp")-sharded
+    arrays; the code matrix crosses the wire 2-bit packed (4x fewer
+    bytes over the remote-TPU tunnel) and unpacks on device."""
+    from jax.sharding import NamedSharding
+
+    from mcaat_tpu.kmer.count import pack_codes_host, unpack_codes_device
+
+    codes_sh = NamedSharding(mesh, P(("dp", "kp"), None))
+    len_sh = NamedSharding(mesh, P(("dp", "kp")))
+    packed = pack_codes_host(codes_p)
+    g_packed = jax.make_array_from_process_local_data(codes_sh, packed)
+    g_lengths = jax.make_array_from_process_local_data(len_sh, lengths_p)
+    return unpack_codes_device(g_packed), g_lengths
 
 
 def build_sharded_dbg(
@@ -285,18 +386,172 @@ def build_sharded_dbg(
     codes,
     lengths,
     k: int = 23,
-    route_cap: int = 1 << 16,
-    shard_cap: int = 1 << 16,
+    route_cap: int | None = None,
+    add_rc: bool = False,
+    count_shard_rows: int | None = None,
+    verbose: bool = False,
+    max_retries: int = 4,
 ) -> tuple[ShardedDBG, int]:
-    kmers, mult, out, in_, dropped = build_sharded_dbg_arrays(
-        mesh, jnp.asarray(codes), jnp.asarray(lengths), k,
-        route_cap=route_cap, shard_cap=shard_cap,
+    """Two-phase distributed build over the ("dp","kp") mesh.
+
+    ``codes``/``lengths`` are THIS PROCESS's local read rows (host
+    numpy; single-process callers pass all rows). Multi-process callers
+    must call with their own host shard on every process.
+
+    Phase 1 (count): row parts are lifted to the mesh, their (k+1)-mer
+    edges + last k-windows routed to owner shards (``all_to_all`` over
+    kp, ``all_gather`` over dp) and counted per shard; part tables
+    reduce through a per-shard binary-counter merge stack, so the
+    per-shard window volume may exceed the single-pass sort budget
+    (``count_shard_rows`` bounds one part's per-shard count input — the
+    sharded twin of the single-chip 384M-window budget, ≙ the
+    reference's RAM-bounded counting, src/sdbg_build.cpp:122-190).
+
+    Phase 2 (allocate + adjacency): the node table derives per shard
+    from the unique edge table, and the shard capacity is set to
+    ``T = bucket(max live rows over shards)`` — NODE-proportional.
+    Sizing from the window count (r3) over-allocated 16.8x at kp=8 and
+    made a 1B-node graph un-holdable on a 16-chip slice
+    (44 GB/chip of capacity vs ~3 GB of live rows); counting first
+    mirrors the single-chip bucket-the-kept-slice pattern
+    (kmer/count.py _bucket_slice).
+
+    Routing-bucket overflows (k-mer-space skew) retry internally with
+    doubled capacities. Returns (graph, dropped); dropped == 0 unless
+    ``max_retries`` doublings still overflowed.
+    """
+    import time
+
+    from jax.experimental import multihost_utils
+
+    codes = np.asarray(codes, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    kp = mesh.shape["kp"]
+    dp = mesh.shape["dp"]
+    n_local_shards = len(mesh.local_devices)
+    n_proc = jax.process_count()
+
+    # agree on a common per-host row count and padded length
+    R, L = codes.shape
+    if n_proc > 1:
+        maxes = multihost_utils.process_allgather(
+            np.asarray([R, L], dtype=np.int64)
+        )
+        R_max, L_max = int(maxes[:, 0].max()), int(maxes[:, 1].max())
+    else:
+        R_max, L_max = R, L
+    L_pad = max((L_max + 3) // 4 * 4, 4)  # packed-upload alignment
+
+    # part sizing: one part's per-shard count input is
+    # dp*kp*route_cap ≈ 2x (part windows)/kp rows
+    budget = count_shard_rows or SHARDED_COUNT_SHARD_ROWS
+    wpr = max(L_max - k, 1) * (2 if add_rc else 1)  # (k+1)-windows per row
+    rows_budget = max(
+        int(budget * kp // (2 * wpr * max(n_proc, 1))), n_local_shards
     )
-    graph = ShardedDBG(
-        k=k, mesh=mesh, kmers=kmers, mult=mult, out=out, in_=in_,
-        valid=kmers != SENTINEL, route_cap=route_cap,
+    rows_per_part = (
+        (min(rows_budget, R_max) + n_local_shards - 1)
+        // n_local_shards
+        * n_local_shards
     )
-    return graph, int(dropped)
+    n_parts = max((R_max + rows_per_part - 1) // rows_per_part, 1)
+
+    part_rows_total = rows_per_part * n_proc
+    part_windows = part_rows_total * wpr
+    local_windows = part_windows // (dp * kp)
+    cap0 = route_cap or _sbucket(2 * max(local_windows // kp, 1))
+    cap_l0 = _sbucket(
+        2 * max(rows_per_part * (2 if add_rc else 1) // (n_local_shards * kp), 1)
+    )
+
+    t0 = time.perf_counter()
+    attempt_cap, attempt_cap_l = cap0, cap_l0
+    dropped_final = 0
+    for _attempt in range(max_retries):
+        stack24: list = []
+        stack_l: list = []
+        overflow = False
+        for pi in range(n_parts):
+            lo = pi * rows_per_part
+            hi = min(lo + rows_per_part, R_max)
+            codes_p = np.zeros((rows_per_part, L_pad), dtype=np.uint8)
+            lengths_p = np.zeros((rows_per_part,), dtype=np.int32)
+            r_lo, r_hi = min(lo, R), min(hi, R)
+            if r_hi > r_lo:
+                codes_p[: r_hi - r_lo, :L] = codes[r_lo:r_hi]
+                lengths_p[: r_hi - r_lo] = lengths[r_lo:r_hi]
+            g_codes, g_lengths = _lift_part(mesh, codes_p, lengths_p)
+            a24, a_l, d_route = _sharded_route_part(
+                mesh, g_codes, g_lengths, k, attempt_cap, attempt_cap_l,
+                add_rc=add_rc,
+            )
+            if int(d_route) > 0:
+                dropped_final = int(d_route)
+                overflow = True
+                break
+            u24, c24, n24 = _vcount(a24)
+            u_l, c_l, n_l = _vcount(a_l)
+            nv24 = host_replicated(mesh, n24)
+            nv_l = host_replicated(mesh, n_l)
+            s24 = min(_sbucket(nv24.max()), int(u24.shape[1]))
+            s_l = min(_sbucket(nv_l.max()), int(u_l.shape[1]))
+            _sstack_push(mesh, stack24, u24[:, :s24], c24[:, :s24], n24, nv24)
+            _sstack_push(mesh, stack_l, u_l[:, :s_l], c_l[:, :s_l], n_l, nv_l)
+            if verbose:
+                print(
+                    f"    [sbuild]  part {pi + 1}/{n_parts}: "
+                    f"{nv24.max()} max unique edges/shard "
+                    f"({time.perf_counter() - t0:.2f}s)",
+                    flush=True,
+                )
+        if overflow:
+            attempt_cap = _sbucket(attempt_cap * 2)
+            attempt_cap_l = _sbucket(attempt_cap_l * 2)
+            continue
+
+        u24, c24, n24_dev, nv24 = _sstack_drain(mesh, stack24)
+        u_l, c_l, _nl_dev, _nvl = _sstack_drain(mesh, stack_l)
+        u23f, c23f, n23, u_id = _vderive(u24, c24, n24_dev, u_l, c_l)
+        nv23 = host_replicated(mesh, n23)
+        T = min(_sbucket(nv23.max()), int(u23f.shape[1]))
+        u23 = u23f[:, :T]
+        c23 = c23f[:, :T]
+        if verbose:
+            print(
+                f"    [sbuild]  node table: {int(nv23.sum())} nodes, "
+                f"T={T} (max live/shard {nv23.max()}, "
+                f"{time.perf_counter() - t0:.2f}s)",
+                flush=True,
+            )
+
+        # phase 2: adjacency with its own (edge-proportional) route cap
+        C = int(u24.shape[1])
+        adj_cap = _sbucket(2 * max(C // kp, 1))
+        for _a in range(max_retries):
+            out, in_, d_adj = _sharded_adjacency(mesh, u23, u24, u_id, k, adj_cap)
+            dropped_final = int(d_adj)
+            if dropped_final == 0 or adj_cap >= C:
+                break
+            adj_cap = min(_sbucket(adj_cap * 2), _sbucket(C))
+        if dropped_final == 0:
+            graph = ShardedDBG(
+                k=k, mesh=mesh, kmers=u23, mult=c23, out=out, in_=in_,
+                valid=u23 != SENTINEL, route_cap=attempt_cap,
+                n_live=nv23.astype(np.int64),
+            )
+            return graph, 0
+        break  # adjacency overflow is not fixed by re-counting
+    return (
+        ShardedDBG(
+            k=k, mesh=mesh,
+            kmers=jnp.zeros((kp, 1), jnp.int64),
+            mult=jnp.zeros((kp, 1), jnp.int32),
+            out=jnp.zeros((kp, 4), jnp.int32),
+            in_=jnp.zeros((kp, 4), jnp.int32),
+            valid=jnp.zeros((kp, 1), bool),
+        ),
+        max(dropped_final, 1),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "n_passes"))

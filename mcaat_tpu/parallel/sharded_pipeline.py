@@ -529,47 +529,17 @@ def run_sharded_downstream(
 
 def build_sharded_graph_for_pipeline(codes, lengths, settings):
     """Distributed build retained as a ShardedDBG (no single-device
-    compaction). Returns None if capacities overflow after retries
+    compaction). The reverse-complement strand is bit math inside the
+    build (no RC code matrix); shard capacity is node-proportional
+    (counted live rows), sized inside ``build_sharded_dbg``. Returns
+    None if routing capacities overflow after the internal retries
     (caller falls back to the single-device build)."""
-    from mcaat_tpu.graph.dbg import _reverse_complement_batch
-
-    k = 23
-    codes_j = jnp.asarray(codes)
-    lengths_j = jnp.asarray(lengths)
-    if settings.add_reverse_complement:
-        rc_codes, rc_lengths = _reverse_complement_batch(codes_j, lengths_j)
-        codes_j = jnp.concatenate([codes_j, rc_codes], axis=0)
-        lengths_j = jnp.concatenate([lengths_j, rc_lengths], axis=0)
-    codes_np = np.asarray(codes_j)
-    lengths_np = np.asarray(lengths_j)
-
     mesh = make_pipeline_mesh()
-    dp, kp = mesh.shape["dp"], mesh.shape["kp"]
-    R, L = codes_np.shape
-    rows_mult = dp * kp
-    R_pad = (R + rows_mult - 1) // rows_mult * rows_mult
-    if R_pad > R:
-        codes_np = np.concatenate(
-            [codes_np, np.zeros((R_pad - R, L), np.uint8)], axis=0
-        )
-        lengths_np = np.concatenate(
-            [lengths_np, np.zeros(R_pad - R, np.int32)], axis=0
-        )
-    windows = R_pad * max(L - k + 1, 0)
-    local_windows = windows // (dp * kp)
-    route_cap = _bucket_size(local_windows)
-    shard_cap = _bucket_size(max(windows // kp, 1) * 2)
-    for _attempt in range(3):
-        graph_s, dropped = build_sharded_dbg(
-            mesh,
-            codes_np,
-            lengths_np,
-            k=k,
-            route_cap=route_cap,
-            shard_cap=min(shard_cap, _bucket_size(windows)),
-        )
-        if dropped == 0:
-            return graph_s
-        shard_cap *= 2
-        route_cap *= 2
-    return None
+    graph_s, dropped = build_sharded_dbg(
+        mesh,
+        np.asarray(codes),
+        np.asarray(lengths),
+        k=23,
+        add_rc=settings.add_reverse_complement,
+    )
+    return graph_s if dropped == 0 else None

@@ -145,14 +145,19 @@ def child() -> int:
     fq = os.environ["MCAAT_MH_FASTQ"]
     batch = read_host_shard(fq, pid, n_proc)
     assert batch.num_reads > 0, "empty host shard"
-    g_codes, g_lengths = host_local_rows_to_global(mesh, batch.codes, batch.lengths)
-
-    route_cap = int(os.environ.get("MCAAT_MH_ROUTE_CAP", str(1 << 13)))
-    shard_cap = int(os.environ.get("MCAAT_MH_SHARD_CAP", str(1 << 13)))
-    sg, dropped = build_sharded_dbg(
-        mesh, g_codes, g_lengths, k=K, route_cap=route_cap, shard_cap=shard_cap
+    # exercise the row-lifting helper (the mapper's chunk path uses it)
+    g_codes, _g_lengths = host_local_rows_to_global(
+        mesh, batch.codes, batch.lengths
     )
+    assert not g_codes.is_fully_addressable
+
+    sg, dropped = build_sharded_dbg(mesh, batch.codes, batch.lengths, k=K)
     assert dropped == 0, dropped
+    # capacity sized from counted LIVE rows, not windows (VERDICT r3 #1)
+    assert sg.n_live is not None
+    assert sg.shard_capacity <= max(2 * int(sg.n_live.max()), 1024), (
+        sg.shard_capacity, sg.n_live,
+    )
     # the table must be truly sharded across processes — each process can
     # address only its own kp shards (no replication anywhere)
     assert not sg.kmers.is_fully_addressable, "graph unexpectedly replicated"
