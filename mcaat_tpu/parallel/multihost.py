@@ -264,10 +264,45 @@ def run_pipeline_multihost(settings, verbose: bool = True):
         print(f"Multi-host graph built over {dict(mesh.shape)} "
               f"({n_proc} processes, sharded — no replication)")
 
+    # per-host map sources: each process maps ONLY its own record ranges
+    # (no FASTQ re-parse — the build's parsed batches are reused; the kept
+    # chains allgather back into global file order in sharded_get_reads).
+    # Order keys are the global record indices: contiguous byte-ranges
+    # stack by process for plain files, gz streams assign records
+    # pid::n_proc (read_host_shard).
+    from mcaat_tpu.io.fastq import reverse_complement_batch
+    from mcaat_tpu.parallel.sharded_pipeline import _FILE_KEY, MapSource
+
+    batch_by_path: dict = {}
+    for path, b in batches:
+        batch_by_path.setdefault(path, b)
+    f1, f2 = settings.fastq_files()
+
+    def _global_indices(path, b):
+        R = b.num_reads
+        if path.endswith(".gz"):
+            return pid + np.arange(R, dtype=np.int64) * n_proc
+        counts = multihost_utils.process_allgather(
+            np.asarray([R], dtype=np.int64)
+        ).reshape(-1)
+        return int(counts[:pid].sum()) + np.arange(R, dtype=np.int64)
+
+    sources = [MapSource(batch_by_path[f1], _global_indices(f1, batch_by_path[f1]), sg.k)]
+    if f2:
+        idx2 = _global_indices(f2, batch_by_path[f2])
+        sources.append(
+            MapSource(
+                reverse_complement_batch(batch_by_path[f2]),
+                _FILE_KEY + idx2,
+                sg.k,
+            )
+        )
+
     # sharded downstream across processes: every process replays the same
     # host loop; process 0 writes + reports
     result = run_sharded_downstream(
-        sg, settings, verbose=verbose and pid == 0, write_report=pid == 0
+        sg, settings, verbose=verbose and pid == 0, write_report=pid == 0,
+        map_sources=sources,
     )
     multihost_utils.sync_global_devices("mcaat_pipeline_end")
     return result if pid == 0 else None

@@ -255,27 +255,144 @@ def sharded_find_cycles(
 # ---------------------------------------------------------------------------
 
 
+class MapSource:
+    """One read-mapping input: a parsed (already RC'd for file 2) batch,
+    its host-side endpoint k-mers, and the global file-order keys of its
+    records. ``order_key[j]`` totally orders every record across sources
+    AND processes (file-major, record-minor), so the merged chain list is
+    deterministic and equals the single-process file order."""
+
+    __slots__ = ("batch", "first_km", "last_km", "order_key")
+
+    def __init__(self, batch, order_key: np.ndarray, k: int):
+        from mcaat_tpu.kmer.count import host_endpoint_kmers
+
+        self.batch = batch
+        self.first_km, self.last_km = host_endpoint_kmers(
+            batch.codes, batch.lengths, k
+        )
+        self.order_key = np.asarray(order_key, dtype=np.int64)
+
+
+_FILE_KEY = np.int64(1) << np.int64(44)  # order keys: file-major
+
+
+def default_map_sources(
+    sg: ShardedDBG, fastq_file_1: str, fastq_file_2: str | None
+) -> list[MapSource]:
+    """Parse-the-files fallback (single-process callers without a batch
+    cache)."""
+    from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
+
+    b1 = read_encoded_batch(fastq_file_1)
+    sources = [MapSource(b1, np.arange(b1.num_reads, dtype=np.int64), sg.k)]
+    if fastq_file_2:
+        b2 = reverse_complement_batch(read_encoded_batch(fastq_file_2))
+        sources.append(
+            MapSource(
+                b2, _FILE_KEY + np.arange(b2.num_reads, dtype=np.int64), sg.k
+            )
+        )
+    return sources
+
+
+def sources_from_batches(sg: ShardedDBG, batches_by_path: dict,
+                         fastq_file_1: str, fastq_file_2: str | None):
+    """MapSources over ALREADY-PARSED batches (zero FASTQ re-parses —
+    the pipeline parses each input exactly once at build time and the
+    mapper reuses the codes; ≙ reads/mapper.py's batch reuse)."""
+    from mcaat_tpu.io.fastq import reverse_complement_batch
+
+    if fastq_file_1 not in batches_by_path or (
+        fastq_file_2 and fastq_file_2 not in batches_by_path
+    ):
+        return default_map_sources(sg, fastq_file_1, fastq_file_2)
+    b1 = batches_by_path[fastq_file_1]
+    sources = [MapSource(b1, np.arange(b1.num_reads, dtype=np.int64), sg.k)]
+    if fastq_file_2:
+        b2 = reverse_complement_batch(batches_by_path[fastq_file_2])
+        sources.append(
+            MapSource(
+                b2, _FILE_KEY + np.arange(b2.num_reads, dtype=np.int64), sg.k
+            )
+        )
+    return sources
+
+
+def _exchange_chains(chains: list[list[int]], keys: list[int]):
+    """Multi-process: allgather every process's (local-record) chains and
+    merge them into the global file order. Chains are CRISPR-anchored
+    kept reads (~3% keep rate), so the exchanged volume is tiny."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    n_proc = jax.process_count()
+    flat = np.concatenate(
+        [np.asarray(c, dtype=np.int64) for c in chains]
+    ) if chains else np.zeros(0, dtype=np.int64)
+    lens = np.asarray([len(c) for c in chains], dtype=np.int64)
+    keys_a = np.asarray(keys, dtype=np.int64)
+
+    def gather_ragged(arr):
+        sizes = multihost_utils.process_allgather(
+            np.asarray([arr.size], dtype=np.int64)
+        ).reshape(-1)
+        m = max(int(sizes.max()), 1)
+        pad = np.zeros(m, dtype=np.int64)
+        pad[: arr.size] = arr
+        data = multihost_utils.process_allgather(pad).reshape(n_proc, m)
+        return [data[p, : int(sizes[p])] for p in range(n_proc)]
+
+    flats = gather_ragged(flat)
+    lenss = gather_ragged(lens)
+    keyss = gather_ragged(keys_a)
+    all_chains: list[list[int]] = []
+    all_keys: list[int] = []
+    for p in range(n_proc):
+        off = 0
+        for ln, ky in zip(lenss[p], keyss[p]):
+            all_chains.append(flats[p][off : off + int(ln)].tolist())
+            all_keys.append(int(ky))
+            off += int(ln)
+    order = np.argsort(np.asarray(all_keys, dtype=np.int64), kind="stable")
+    return [all_chains[i] for i in order]
+
+
 def sharded_get_reads(
     sg: ShardedDBG,
     fastq_file_1: str,
     fastq_file_2: str | None,
     cycles: list[list[int]],
     chunk_reads: int = 1 << 20,
+    sources: list[MapSource] | None = None,
 ) -> list[list[int]]:
     """≙ reference get_reads (src/reads.cpp:91-130) with every window
     lookup routed to its owner shard (``sharded_lookup`` over kp); chains
-    carry GLOBAL node ids."""
-    from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
+    carry GLOBAL node ids.
 
+    ``sources`` carries already-parsed batches + host endpoint k-mers
+    (zero FASTQ re-parses; phase 1 uploads 16 bytes/read — 2 routed
+    lookups — instead of the code matrix). In multi-process runs each
+    process maps only its OWN record ranges and the kept chains are
+    allgathered into global file order, so read mapping scales with
+    process count while every process still ends with the identical
+    replicated chain list the downstream orchestration requires.
+    """
+    import jax
+
+    if sources is None:
+        sources = default_map_sources(sg, fastq_file_1, fastq_file_2)
     cycle_nodes = sorted({int(n) for cyc in cycles for n in cyc})
     chains: list[list[int]] = []
-    chains.extend(
-        _map_batch_sharded(sg, read_encoded_batch(fastq_file_1), cycle_nodes, chunk_reads)
-    )
-    if fastq_file_2:
-        b2 = reverse_complement_batch(read_encoded_batch(fastq_file_2))
-        chains.extend(_map_batch_sharded(sg, b2, cycle_nodes, chunk_reads))
-    return chains
+    keys: list[int] = []
+    for src in sources:
+        c, ky = _map_batch_sharded(sg, src, cycle_nodes, chunk_reads)
+        chains.extend(c)
+        keys.extend(ky)
+    if jax.process_count() > 1:
+        return _exchange_chains(chains, keys)
+    order = np.argsort(np.asarray(keys, dtype=np.int64), kind="stable")
+    return [chains[i] for i in order]
 
 
 def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
@@ -318,46 +435,38 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
     return np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)
 
 
-def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
-    from mcaat_tpu.kmer.count import (
-        extract_first_kmer,
-        extract_kmers,
-        extract_last_kmer,
-    )
+def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cycle_nodes, chunk_reads):
+    """Returns (chains, order_keys) for the kept reads of one source.
 
+    Phase 1 routes ONLY the host-stashed endpoint k-mers (16 bytes/read
+    up the wire, 2 routed lookups/read); the full code matrix uploads
+    only for the kept reads (~3% on CRISPR-bearing data)."""
+    from mcaat_tpu.kmer.count import SENTINEL as _SEN, extract_kmers, upload_codes
+
+    full_batch = src.batch
     if full_batch.num_reads == 0:
-        return []
+        return [], []
     cyc = np.asarray(cycle_nodes, dtype=np.int64)
     k = sg.k
+    sen = int(_SEN)
     L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
+    if L_pad < k:
+        return [], []
     chains: list[list[int]] = []
+    keys: list[int] = []
     for lo in range(0, full_batch.num_reads, chunk_reads):
-        c_np = full_batch.codes[lo : lo + chunk_reads]
         l_np = full_batch.lengths[lo : lo + chunk_reads]
-        R = c_np.shape[0]
-        R_pad = _bucket_size(R)
-        codes = np.zeros((R_pad, L_pad), dtype=np.uint8)
-        codes[:R, : c_np.shape[1]] = c_np
-        lengths = np.zeros((R_pad,), dtype=np.int32)
-        lengths[:R] = l_np
-        if L_pad < k:
-            continue
-        from mcaat_tpu.kmer.count import upload_codes
-
-        codes_j = upload_codes(codes)  # 2-bit packed over the wire
-        lengths_j = jnp.asarray(lengths)
+        R = len(l_np)
         # phase 1: endpoint-only keep decision (reference keeps a read iff
         # its first or last window node is in the cycle set,
-        # src/reads.cpp:74-76) — 2 routed lookups per read instead of W
-        ends = jnp.concatenate(
-            [
-                extract_first_kmer(codes_j, lengths_j, k),
-                extract_last_kmer(codes_j, lengths_j, k),
-            ]
-        )
+        # src/reads.cpp:74-76) — endpoints come from the host stash
+        Q = _bucket_size(2 * R)
+        ends = np.full(Q, sen, dtype=np.int64)
+        ends[:R] = src.first_km[lo : lo + chunk_reads]
+        ends[R : 2 * R] = src.last_km[lo : lo + chunk_reads]
         end_ids = _sharded_lookup_ids(sg, ends)
-        firsts, lasts = end_ids[:R_pad][:R], end_ids[R_pad:][:R]
-        eligible = (lengths[:R] > 2 * k) & (l_np >= k)
+        firsts, lasts = end_ids[:R], end_ids[R : 2 * R]
+        eligible = l_np > 2 * k
         keep = eligible & (np.isin(firsts, cyc) | np.isin(lasts, cyc))
         kept_idx = np.nonzero(keep)[0]
         if len(kept_idx) == 0:
@@ -365,18 +474,22 @@ def _map_batch_sharded(sg: ShardedDBG, full_batch, cycle_nodes, chunk_reads):
         # phase 2: full window chains for the kept reads only
         n_kept = len(kept_idx)
         g_pad = _bucket_size(n_kept)
+        c_np = full_batch.codes[lo + kept_idx]
         codes_k = np.zeros((g_pad, L_pad), dtype=np.uint8)
-        codes_k[:n_kept] = codes[kept_idx]
+        codes_k[:n_kept, : c_np.shape[1]] = c_np
         lengths_k = np.zeros((g_pad,), dtype=np.int32)
-        lengths_k[:n_kept] = lengths[kept_idx]
-        kmers = extract_kmers(jnp.asarray(codes_k), jnp.asarray(lengths_k), k)
+        lengths_k[:n_kept] = l_np[kept_idx]
+        kmers = extract_kmers(
+            upload_codes(codes_k), jnp.asarray(lengths_k), k
+        )
         W = kmers.shape[1]
         ids = _sharded_lookup_ids(sg, kmers.reshape(-1)).reshape(g_pad, W)
         n_windows = np.maximum(lengths_k[:n_kept] - k + 1, 0).astype(np.int32)
         chains.extend(
             ids[r, : int(n_windows[r])].tolist() for r in range(n_kept)
         )
-    return chains
+        keys.extend(src.order_key[lo + kept_idx].tolist())
+    return chains, keys
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +535,7 @@ def run_sharded_downstream(
     verbose: bool = True,
     write_report: bool = True,
     profiler=None,
+    map_sources: list[MapSource] | None = None,
 ):
     """Pipeline stages after a sharded build: distributed prune/candidate
     scan → neighborhood-compacted cycle enumeration → routed read mapping
@@ -432,9 +546,13 @@ def run_sharded_downstream(
     candidate fixpoints, combinatorics) is REPLICATED — each process
     executes the identical loop, so every collective program is entered
     by all processes in the same order, and the computed
-    ``PipelineResult`` is identical everywhere. Only a caller-designated
-    process should ``write_report`` (the others compute the same report
-    text against os.devnull).
+    ``PipelineResult`` is identical everywhere. The ONE deliberately
+    non-replicated stage is read mapping when ``map_sources`` carries
+    per-host record ranges: each process maps only its own reads and
+    the kept chains allgather back into the identical global file order
+    (see ``sharded_get_reads``). Only a caller-designated process should
+    ``write_report`` (the others compute the same report text against
+    os.devnull).
 
     ≙ the reference release main() from the CycleFinder call on
     (src/main.cpp:536-591) with the whole-graph stages distributed.
@@ -474,7 +592,9 @@ def run_sharded_downstream(
 
     f1, f2 = settings.fastq_files()
     with prof.stage("read_mapping"):
-        reads = sharded_get_reads(sg, f1, f2, result.cycles)
+        reads = sharded_get_reads(
+            sg, f1, f2, result.cycles, sources=map_sources
+        )
     prof.count("read_mapping", reads=len(reads))
     result.reads = reads
     if verbose:

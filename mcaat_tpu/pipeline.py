@@ -512,13 +512,15 @@ def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
     from mcaat_tpu.parallel.sharded_pipeline import (
         build_sharded_graph_for_pipeline,
         run_sharded_downstream,
+        sources_from_batches,
     )
     from mcaat_tpu.utils.profiling import Profiler
 
     prof = Profiler()
     t0 = time.time()
 
-    codes, lengths = _load_input_codes(settings)
+    input_batches = _load_input_batches(settings)
+    codes, lengths = _concat_batches(input_batches)
     with prof.stage("graph_build"):
         sg = build_sharded_graph_for_pipeline(codes, lengths, settings)
     if sg is None:
@@ -528,7 +530,15 @@ def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
             f"Graph built (sharded over {dict(sg.mesh.shape)}): "
             f"capacity {sg.kmers.size} rows ({time.time() - t0:.2f}s)"
         )
-    result = run_sharded_downstream(sg, settings, verbose=verbose, profiler=prof)
+    # the mapper reuses the parsed batches — zero FASTQ re-parses
+    batches_by_path: dict = {}
+    for path, b in input_batches:
+        batches_by_path.setdefault(path, b)
+    f1, f2 = settings.fastq_files()
+    map_sources = sources_from_batches(sg, batches_by_path, f1, f2)
+    result = run_sharded_downstream(
+        sg, settings, verbose=verbose, profiler=prof, map_sources=map_sources
+    )
     if verbose:
         print(f"Total time: {time.time() - t0:.2f}s")
     return result
