@@ -49,6 +49,137 @@ def load_graph(path: str) -> DBG:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sharded-graph checkpoints (per-shard files; no replication through host)
+# ---------------------------------------------------------------------------
+
+
+def _addressable_rows(arr) -> dict[int, np.ndarray]:
+    """{kp row -> host block} of a [kp, ...] P("kp", None)-sharded array,
+    deduped across dp replicas. Each process sees only its own rows."""
+    rows: dict[int, np.ndarray] = {}
+    for sh in arr.addressable_shards:
+        r = sh.index[0].start or 0
+        if r not in rows:
+            rows[r] = np.asarray(sh.data)
+    return rows
+
+
+def save_sharded_graph(dir_path: str, sg) -> None:
+    """Persist a ShardedDBG: one ``shard_XXXX.npz`` per kp shard plus a
+    ``meta.json``. Each PROCESS writes only the shards it addresses, so a
+    multi-host graph checkpoints without ever being replicated (the r3
+    checkpoint path forced single-device compaction — capping resumable
+    runs at single-chip scale, exactly the runs long enough to need
+    resume)."""
+    import jax
+
+    os.makedirs(dir_path, exist_ok=True)
+    kp, T = sg.kmers.shape
+    km = _addressable_rows(sg.kmers)
+    mu = _addressable_rows(sg.mult)
+    ou = _addressable_rows(sg.out)
+    inn = _addressable_rows(sg.in_)
+    va = _addressable_rows(sg.valid)
+    for r in km:
+        np.savez_compressed(
+            os.path.join(dir_path, f"shard_{r:04d}.npz"),
+            kmers=km[r], mult=mu[r], out=ou[r], in_=inn[r], valid=va[r],
+        )
+    if jax.process_index() == 0:
+        meta = {
+            "k": int(sg.k),
+            "kp": int(kp),
+            "T": int(T),
+            "route_cap": int(sg.route_cap),
+            "n_live": [] if sg.n_live is None else [int(x) for x in sg.n_live],
+        }
+        with open(os.path.join(dir_path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mcaat_ckpt_sharded_graph")
+
+
+def _load_sharded_field(dir_path: str, mesh, name: str, shape):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cache: dict[int, np.lib.npyio.NpzFile] = {}
+
+    def cb(index):
+        r = index[0].start or 0
+        if r not in cache:
+            cache[r] = np.load(os.path.join(dir_path, f"shard_{r:04d}.npz"))
+        return cache[r][name]
+
+    return jax.make_array_from_callback(
+        shape, NamedSharding(mesh, P("kp", None)), cb
+    )
+
+
+def load_sharded_graph(dir_path: str, mesh):
+    """Rebuild a ShardedDBG on ``mesh`` from :func:`save_sharded_graph`
+    files; each process reads only the shards its devices own. The mesh's
+    kp extent must match the checkpoint (the k-mer-space partition is
+    baked into the shard files)."""
+    from mcaat_tpu.parallel.sharded_graph import ShardedDBG
+
+    with open(os.path.join(dir_path, "meta.json")) as fh:
+        meta = json.load(fh)
+    kp, T = meta["kp"], meta["T"]
+    if mesh.shape["kp"] != kp:
+        raise ValueError(
+            f"checkpoint has kp={kp}, mesh has kp={mesh.shape['kp']}"
+        )
+    return ShardedDBG(
+        k=int(meta["k"]),
+        mesh=mesh,
+        kmers=_load_sharded_field(dir_path, mesh, "kmers", (kp, T)),
+        mult=_load_sharded_field(dir_path, mesh, "mult", (kp, T)),
+        out=_load_sharded_field(dir_path, mesh, "out", (kp, 4 * T)),
+        in_=_load_sharded_field(dir_path, mesh, "in_", (kp, 4 * T)),
+        valid=_load_sharded_field(dir_path, mesh, "valid", (kp, T)),
+        route_cap=int(meta.get("route_cap", 0)),
+        n_live=(
+            np.asarray(meta["n_live"], dtype=np.int64)
+            if meta.get("n_live")
+            else None
+        ),
+    )
+
+
+def save_sharded_valid(dir_path: str, mesh, valid) -> None:
+    """Per-shard post-prune validity mask (the cycle stage's second
+    output next to cycles.json)."""
+    import jax
+
+    os.makedirs(dir_path, exist_ok=True)
+    for r, block in _addressable_rows(valid).items():
+        np.savez_compressed(
+            os.path.join(dir_path, f"shard_{r:04d}.npz"), valid=block
+        )
+    if jax.process_index() == 0:
+        with open(os.path.join(dir_path, "meta.json"), "w") as fh:
+            json.dump({"kp": int(valid.shape[0]), "T": int(valid.shape[1])}, fh)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mcaat_ckpt_sharded_valid")
+
+
+def load_sharded_valid(dir_path: str, mesh):
+    with open(os.path.join(dir_path, "meta.json")) as fh:
+        meta = json.load(fh)
+    kp, T = meta["kp"], meta["T"]
+    if mesh.shape["kp"] != kp:
+        raise ValueError(
+            f"checkpoint has kp={kp}, mesh has kp={mesh.shape['kp']}"
+        )
+    return _load_sharded_field(dir_path, mesh, "valid", (kp, T))
+
+
 def save_cycles(path: str, cycles_map: dict[int, list[list[int]]]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:

@@ -536,6 +536,7 @@ def run_sharded_downstream(
     write_report: bool = True,
     profiler=None,
     map_sources: list[MapSource] | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Pipeline stages after a sharded build: distributed prune/candidate
     scan → neighborhood-compacted cycle enumeration → routed read mapping
@@ -575,14 +576,39 @@ def run_sharded_downstream(
     result = PipelineResult()
     cfs = settings.cycle_finder_settings
 
-    with prof.stage("cycle_search"):
-        valid, cycles_map = sharded_find_cycles(
-            sg,
-            threshold_multiplicity=cfs.threshold_multiplicity,
-            cycle_min_length=cfs.cycle_min_length,
-            cycle_max_length=cfs.cycle_max_length,
-            verbose=verbose,
-        )
+    ckpt = None
+    if checkpoint_dir:
+        from mcaat_tpu import checkpoint as ckpt
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _ck(name: str) -> str:
+        return os.path.join(checkpoint_dir, name)
+
+    cycles_ck = checkpoint_dir and (
+        os.path.exists(_ck("cycles.json"))
+        and os.path.exists(os.path.join(_ck("valid_pruned"), "meta.json"))
+    )
+    if cycles_ck:
+        cycles_map = ckpt.load_cycles(_ck("cycles.json"))
+        valid = ckpt.load_sharded_valid(_ck("valid_pruned"), sg.mesh)
+        if verbose:
+            print(f"Cycles loaded from checkpoint: {len(cycles_map)} start nodes")
+    else:
+        with prof.stage("cycle_search"):
+            valid, cycles_map = sharded_find_cycles(
+                sg,
+                threshold_multiplicity=cfs.threshold_multiplicity,
+                cycle_min_length=cfs.cycle_min_length,
+                cycle_max_length=cfs.cycle_max_length,
+                verbose=verbose,
+            )
+        if checkpoint_dir:
+            import jax as _jax
+
+            if _jax.process_index() == 0:
+                ckpt.save_cycles(_ck("cycles.json"), cycles_map)
+            ckpt.save_sharded_valid(_ck("valid_pruned"), sg.mesh, valid)
     prof.count("cycle_search", start_nodes=len(cycles_map))
     result.cycles_map = cycles_map
     result.cycles = cycles_map_to_cycles(cycles_map)
@@ -591,10 +617,24 @@ def run_sharded_downstream(
         print("🔸STEP 6: Finding relevant reads")
 
     f1, f2 = settings.fastq_files()
-    with prof.stage("read_mapping"):
-        reads = sharded_get_reads(
-            sg, f1, f2, result.cycles, sources=map_sources
-        )
+    if checkpoint_dir and os.path.exists(_ck("reads.json")):
+        reads = ckpt.load_reads(_ck("reads.json"))
+        if verbose:
+            print(f"Reads loaded from checkpoint: {len(reads)}")
+    else:
+        with prof.stage("read_mapping"):
+            reads = sharded_get_reads(
+                sg, f1, f2, result.cycles, sources=map_sources
+            )
+        if checkpoint_dir:
+            import jax as _jax
+
+            if _jax.process_index() == 0:
+                ckpt.save_reads(_ck("reads.json"), reads)
+            if _jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("mcaat_ckpt_reads")
     prof.count("read_mapping", reads=len(reads))
     result.reads = reads
     if verbose:

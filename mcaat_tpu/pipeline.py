@@ -500,15 +500,25 @@ def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResu
     return result
 
 
-def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
+def _run_pipeline_sharded(
+    settings: Settings,
+    verbose: bool = True,
+    checkpoint_dir: str | None = None,
+):
     """Full pipeline with the graph sharded over the device mesh.
 
     Build, prune, candidate scan and read-window lookups run distributed
     (``parallel/sharded_pipeline.py``); the host combinatorial stages see
     only two small compactions (candidate neighborhood, cycle region).
-    Returns None if the sharded build overflows its capacity retries
-    (caller falls back to the single-device path).
+    With ``checkpoint_dir`` every stage boundary persists SHARDED
+    (per-shard npz files — no single-device compaction, so resumable
+    runs keep the full multi-chip scale; r3 forced checkpointed runs
+    through the single-device path). Returns None if the sharded build
+    overflows its capacity retries (caller falls back to the
+    single-device path).
     """
+    import os
+
     from mcaat_tpu.parallel.sharded_pipeline import (
         build_sharded_graph_for_pipeline,
         run_sharded_downstream,
@@ -519,25 +529,53 @@ def _run_pipeline_sharded(settings: Settings, verbose: bool = True):
     prof = Profiler()
     t0 = time.time()
 
-    input_batches = _load_input_batches(settings)
-    codes, lengths = _concat_batches(input_batches)
-    with prof.stage("graph_build"):
-        sg = build_sharded_graph_for_pipeline(codes, lengths, settings)
+    graph_ck_dir = (
+        os.path.join(checkpoint_dir, "graph_sharded") if checkpoint_dir else None
+    )
+    sg = None
+    input_batches = None
+    if graph_ck_dir and os.path.exists(os.path.join(graph_ck_dir, "meta.json")):
+        from mcaat_tpu import checkpoint as ckpt
+        from mcaat_tpu.parallel.sharded import make_pipeline_mesh
+
+        try:
+            sg = ckpt.load_sharded_graph(graph_ck_dir, make_pipeline_mesh())
+        except ValueError:
+            sg = None  # mesh/kp mismatch: rebuild below
+        if sg is not None and verbose:
+            print(
+                f"Graph loaded from sharded checkpoint: {sg.n_nodes} nodes"
+            )
     if sg is None:
-        return None
-    if verbose:
-        print(
-            f"Graph built (sharded over {dict(sg.mesh.shape)}): "
-            f"capacity {sg.kmers.size} rows ({time.time() - t0:.2f}s)"
-        )
-    # the mapper reuses the parsed batches — zero FASTQ re-parses
-    batches_by_path: dict = {}
-    for path, b in input_batches:
-        batches_by_path.setdefault(path, b)
+        input_batches = _load_input_batches(settings)
+        codes, lengths = _concat_batches(input_batches)
+        with prof.stage("graph_build"):
+            sg = build_sharded_graph_for_pipeline(codes, lengths, settings)
+        if sg is None:
+            return None
+        if graph_ck_dir:
+            from mcaat_tpu import checkpoint as ckpt
+
+            ckpt.save_sharded_graph(graph_ck_dir, sg)
+        if verbose:
+            print(
+                f"Graph built (sharded over {dict(sg.mesh.shape)}): "
+                f"capacity {sg.kmers.size} rows ({time.time() - t0:.2f}s)"
+            )
+    # the mapper reuses the parsed batches — zero FASTQ re-parses. On a
+    # graph-checkpoint resume nothing was parsed yet; sources_from_batches
+    # falls back to parsing (once) only if the mapping stage actually runs.
     f1, f2 = settings.fastq_files()
-    map_sources = sources_from_batches(sg, batches_by_path, f1, f2)
+    if input_batches is not None:
+        batches_by_path: dict = {}
+        for path, b in input_batches:
+            batches_by_path.setdefault(path, b)
+        map_sources = sources_from_batches(sg, batches_by_path, f1, f2)
+    else:
+        map_sources = None
     result = run_sharded_downstream(
-        sg, settings, verbose=verbose, profiler=prof, map_sources=map_sources
+        sg, settings, verbose=verbose, profiler=prof,
+        map_sources=map_sources, checkpoint_dir=checkpoint_dir,
     )
     if verbose:
         print(f"Total time: {time.time() - t0:.2f}s")
@@ -560,15 +598,17 @@ def run_pipeline(
     sharded over the mesh through build → prune → candidate scan →
     read mapping (``parallel/sharded_pipeline.py``); only the candidate
     neighborhood and the cycle region are ever compacted. Checkpointed
-    runs use the single-compaction path (stage artifacts are
-    single-device npz files).
+    sharded runs persist per-shard artifacts (``graph_sharded/``,
+    ``valid_pruned/``) — resume never compacts the graph to one device.
     """
     import os
 
     from mcaat_tpu.utils.profiling import Profiler, compile_counter
 
-    if checkpoint_dir is None and _sharded_mode(settings):
-        result = _run_pipeline_sharded(settings, verbose)
+    if _sharded_mode(settings):
+        result = _run_pipeline_sharded(
+            settings, verbose, checkpoint_dir=checkpoint_dir
+        )
         if result is not None:
             return result
 

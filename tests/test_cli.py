@@ -115,7 +115,11 @@ def test_pipeline_resume(tmp_path):
     ck = str(tmp_path / "ck")
     s = Settings(input_files=str(f), output_file=str(tmp_path / "a.txt"))
     r1 = run_pipeline(s, verbose=False, checkpoint_dir=ck)
-    assert os.path.exists(os.path.join(ck, "graph.npz"))
+    # sharded mode (multi-device) persists per-shard artifacts; the
+    # single-device path writes graph.npz
+    assert os.path.exists(
+        os.path.join(ck, "graph_sharded", "meta.json")
+    ) or os.path.exists(os.path.join(ck, "graph.npz"))
     assert os.path.exists(os.path.join(ck, "cycles.json"))
     assert os.path.exists(os.path.join(ck, "reads.json"))
     # resume run must produce the identical report from the checkpoints
