@@ -314,7 +314,9 @@ def spacer_ordering_step(
     _tick("subproblem filter")
 
     host_graph = graph.to_host()
-    for idx, (sg, relevant_reads, relevant_cycles) in enumerate(remaining):
+    results = _solve_subproblems(host_graph, remaining)
+    for idx, cycle_order, conf_res, conf_topo, system, log_text in results:
+        sg, relevant_reads, relevant_cycles = remaining[idx]
         if verbose:
             print(f"    Subproblem {idx + 1}/{len(remaining)}:")
             print(
@@ -323,24 +325,20 @@ def spacer_ordering_step(
             )
             print(f"      🛈 Reads with {len(relevant_reads)}/{len(reads)} used")
             print(f"      🛈 Cycles with {len(relevant_cycles)} used")
-        from mcaat_tpu.ordering.fast import order_cycles_fast
+            import sys as _sys
 
-        cycle_order, conf_res, conf_topo = order_cycles_fast(
-            relevant_reads, relevant_cycles, verbose=verbose
-        )
-        if verbose:
+            _sys.stdout.write(log_text)
             print(f"      ▸ The order is {' '.join(map(str, cycle_order))}")
             print(
                 f"      ▸ Cycles were resolved with a confidence of "
                 f"{conf_res * 100:.2f}%"
             )
             print(f"      ▸ Topological sort has a confidence of {conf_topo * 100:.2f}%")
-        ordered_cycles = get_ordered_cycles(cycle_order, relevant_cycles)
-        if len(ordered_cycles) < 2:
+        if system is None:
             if verbose:
                 print("      ▸ Node order is too short and is not processed further")
             continue
-        repeat, spacers, full_sequence = get_systems(host_graph, ordered_cycles)
+        repeat, spacers, full_sequence = system
         if verbose:
             print(f"        ▸ Number of spacers: {len(spacers)}")
         found_systems.append(
@@ -350,6 +348,86 @@ def spacer_ordering_step(
         print("  ✅ Completed each subproblem")
     _tick("subproblem solve")
     return graph, found_systems
+
+
+# host graph shared with ordering workers through fork copy-on-write (a
+# 1 GB+ k-mer table must never be pickled per worker)
+_ORDERING_GRAPH = None
+
+# parallelize only past this subproblem count: below it the fork +
+# dispatch overhead exceeds the loop itself
+_ORDERING_POOL_MIN_SUBPROBLEMS = 8
+
+
+def _solve_ordering_subproblem(args):
+    """One ordering subproblem, pool-safe: returns everything the parent
+    needs to emit the exact serial verbose block and the FoundSystem.
+    ``order_cycles_fast``'s own verbose lines are captured so the parent
+    can replay them in deterministic subproblem order."""
+    import contextlib
+    import io
+
+    from mcaat_tpu.ordering.fast import order_cycles_fast
+
+    idx, relevant_reads, relevant_cycles = args
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cycle_order, conf_res, conf_topo = order_cycles_fast(
+            relevant_reads, relevant_cycles, verbose=True
+        )
+    ordered_cycles = get_ordered_cycles(cycle_order, relevant_cycles)
+    system = None
+    if len(ordered_cycles) >= 2:
+        system = get_systems(_ORDERING_GRAPH, ordered_cycles)
+    return idx, cycle_order, conf_res, conf_topo, system, buf.getvalue()
+
+
+def _solve_subproblems(host_graph, remaining):
+    """Solve the (independent) ordering subproblems, in parallel when
+    there are enough of them (≙ the reference's per-subproblem OpenMP
+    parallelism, src/main_run_and_debug.cpp:32-140). Results come back
+    in subproblem order regardless of completion order, and all verbose
+    text is emitted by the caller, so output is byte-identical to the
+    serial loop. ``MCAAT_ORDERING_PROCS`` overrides the worker count
+    (0/1 forces serial)."""
+    import multiprocessing
+    import os
+
+    global _ORDERING_GRAPH
+    tasks = [
+        (i, rr, rc) for i, (_sg, rr, rc) in enumerate(remaining)
+    ]
+    n_procs = int(
+        os.environ.get("MCAAT_ORDERING_PROCS", str(os.cpu_count() or 1))
+    )
+    _ORDERING_GRAPH = host_graph
+    try:
+        if n_procs > 1 and len(tasks) >= _ORDERING_POOL_MIN_SUBPROBLEMS:
+            ex = None
+            try:
+                # fork: workers inherit the host graph copy-on-write.
+                # Forking a process with live JAX/tunnel threads carries a
+                # (remote) deadlock risk in the child — the workers only
+                # run numpy/pure Python, but every result still carries a
+                # timeout and ANY failure falls back to the serial loop.
+                ctx = multiprocessing.get_context("fork")
+                from concurrent.futures import ProcessPoolExecutor
+
+                ex = ProcessPoolExecutor(max_workers=n_procs, mp_context=ctx)
+                futures = [
+                    ex.submit(_solve_ordering_subproblem, t) for t in tasks
+                ]
+                timeout = max(600.0, 5.0 * len(tasks))
+                results = [f.result(timeout=timeout) for f in futures]
+                ex.shutdown(wait=True)
+                return results
+            except Exception:
+                if ex is not None:
+                    ex.shutdown(wait=False, cancel_futures=True)
+                # fall through to the serial loop
+        return [_solve_ordering_subproblem(t) for t in tasks]
+    finally:
+        _ORDERING_GRAPH = None
 
 
 def benchmark_results(settings: Settings, found_systems: list[FoundSystem]) -> None:

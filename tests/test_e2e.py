@@ -313,3 +313,54 @@ def test_duplicate_input_file_doubles_multiplicity(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(g2.mult), 2 * np.asarray(g1.mult)
     )
+
+
+def test_parallel_ordering_pool_matches_serial(tmp_path, monkeypatch):
+    """The process-pooled subproblem loop must be byte-identical to the
+    serial loop (report AND captured verbose text)."""
+    import contextlib
+    import io
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic import make_metagenome, write_fastq
+
+    from mcaat_tpu import pipeline as pl
+    from mcaat_tpu.settings import Settings
+
+    meta = make_metagenome(seed=31, n_arrays=2, n_spacers=4, coverage=35.0)
+    f = tmp_path / "r.fq"
+    write_fastq(str(f), meta["reads"])
+
+    def run(procs: str):
+        monkeypatch.setenv("MCAAT_ORDERING_PROCS", procs)
+        s = Settings(
+            input_files=str(f), output_file=str(tmp_path / f"o{procs}.txt")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            r = pl.run_pipeline(s, verbose=True)
+        return r, buf.getvalue()
+
+    monkeypatch.setattr(pl, "_ORDERING_POOL_MIN_SUBPROBLEMS", 1)
+    r_ser, out_ser = run("1")
+    r_par, out_par = run("2")
+    assert r_par.report_text == r_ser.report_text
+    assert [fs.repeat for fs in r_par.found_systems] == [
+        fs.repeat for fs in r_ser.found_systems
+    ]
+    # the verbose subproblem blocks are replayed in order — identical text
+    # modulo wall-clock timing lines
+    import re
+
+    def strip_timings(text: str) -> str:
+        tail = text.split("Splitting into subproblems")[-1]
+        return "\n".join(
+            ln
+            for ln in tail.splitlines()
+            if not re.search(r"\d+\.\d+s", ln)
+            and not ln.startswith("Saved in:")
+        )
+
+    assert strip_timings(out_par) == strip_timings(out_ser)
