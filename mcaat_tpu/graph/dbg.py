@@ -34,6 +34,7 @@ actually propagate up dead chains.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, replace
 from typing import Optional
 
@@ -366,7 +367,7 @@ def build_adjacency_chunked(
     edges24,
     n_edges: int,
     k: int = 23,
-    chunk_edges: int = 48_000_000,
+    chunk_edges: int = 64_000_000,
     u_id=None,
 ):
     """Memory-bounded adjacency assembly: edge chunks join + scatter in turn.
@@ -378,7 +379,9 @@ def build_adjacency_chunked(
     one chunk + the [4N] adjacency — the same ceiling as chunked
     counting. Every chunk re-sorts the node table, so chunks should be as
     large as memory allows (measured at 94.4M edges / 100.7M-node
-    buckets: 16M chunks 13.5s, 48M chunks 9.6s, single-shot 8.4s).
+    buckets: 16M chunks 13.5s, 48M chunks 9.6s, single-shot 8.4s; at
+    134.2M/134.2M buckets: 48M chunks 15.7s, 64M chunks 12.8s,
+    single-shot 11.0s — scripts/exp_adj_r4.py).
     Chunks of the sorted edge table keep the sorted-out-slot property.
     ``u_id`` (per-edge source node ids) chunks alongside the edges.
     """
@@ -473,15 +476,17 @@ def build_dbg(
     counts23 = jnp.asarray(counts23, dtype=jnp.int32)
     if n_edges is None:
         n_edges = int(edges24.shape[0])
-    # single-shot up to 96M edges: with u_id the join is one-sided (N+E
-    # rows, not N+2E) and measured FITTING at 94.4M edges / 100.7M-node
-    # buckets on a 16GB v5e — 8.4s vs 13.5s for 16M-edge chunks, which
-    # re-sort the node table once per chunk (scripts/exp_adj_r3.py). The
-    # 96M cutoff stays inside the measured bucket band (bucket(96M) =
-    # the same 100.7M rows the fit was measured at). WITHOUT u_id the
-    # join is two-sided (N+2E sort rows) and the 16GB fit was never
-    # measured past ~32M edges — keep the old cutoff there.
-    single_shot_max = 96_000_000 if u_id is not None else 32_000_000
+    # single-shot up to 134M edges: with u_id the join is one-sided (N+E
+    # rows, not N+2E) and measured FITTING at the 796M-window run's exact
+    # buckets — N = E = 134,217,728 — on a 16GB v5e: 11.0s vs 15.7s for
+    # 48M-edge chunks / 12.8s for 64M chunks, each of which re-sorts the
+    # node table per chunk (scripts/exp_adj_r4.py; r3's 94.4M-edge fit
+    # was scripts/exp_adj_r3.py). The 134M cutoff stays inside the
+    # measured bucket band (bucket(134M) = the 134.2M rows the fit ran
+    # at). WITHOUT u_id the join is two-sided (N+2E sort rows) and the
+    # 16GB fit was never measured past ~32M edges — keep the old cutoff
+    # there.
+    single_shot_max = 134_000_000 if u_id is not None else 32_000_000
     if int(n_edges) > single_shot_max:
         out, in_ = build_adjacency_chunked(
             kmers23, edges24, int(n_edges), k=k, u_id=u_id
@@ -498,14 +503,33 @@ def build_dbg(
     return DBG(k=k, kmers=kmers23, mult=counts23, out=out, in_=in_, valid=valid)
 
 
+# Above this row count the bucket ladder drops to 2 tiers/octave
+# ({1, 1.5} x pow2 instead of {1, 1.25, 1.5, 1.75}): at 64M+ rows a fresh
+# tier's program set costs ~25 min cold through the remote-compile
+# service, so cross-dataset shape reuse (fewer, coarser tiers) beats the
+# ≤25% extra padding (VERDICT r3 next #8). Measured: the r3 600M/800M
+# artifact shapes (100.7M, 134.2M) sit on the shared {1.5, 2.0} tiers,
+# identical under both ladders — no recompile on upgrade. Env-tunable so
+# CPU tests can exercise the coarse ladder at small sizes.
+_COARSE_BUCKET_MIN = int(
+    os.environ.get("MCAAT_COARSE_BUCKET_MIN", str(64 * 1024 * 1024))
+)
+
+
 def _bucket_size(n: int) -> int:
-    """Round up to {1, 1.25, 1.5, 1.75} x a power of two (≤ 4 buckets per
-    octave keeps padding waste under 25% while letting different datasets
-    share compiled shapes)."""
+    """Round up to a fraction-of-an-octave bucket: {1, 1.25, 1.5, 1.75} x
+    a power of two (≤25% padding waste) below ``_COARSE_BUCKET_MIN``,
+    {1, 1.5} x a power of two (≤50% waste, half the tiers → double the
+    compiled-program reuse across datasets) above it."""
     if n <= 1024:
         return 1024
     p = 1 << (n - 1).bit_length() - 1  # largest power of two <= n-1... floor
-    for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+    fracs = (
+        (1.0, 1.5, 2.0)
+        if n > _COARSE_BUCKET_MIN
+        else (1.0, 1.25, 1.5, 1.75, 2.0)
+    )
+    for frac in fracs:
         cand = int(p * frac)
         if cand >= n:
             return cand
@@ -626,10 +650,17 @@ def build_dbg_from_reads(
         for ci in range(n_chunks):
             c_np = codes_np[ci * chunk_rows : (ci + 1) * chunk_rows]
             l_np = lengths_np[ci * chunk_rows : (ci + 1) * chunk_rows]
-            if c_np.shape[0] < chunk_rows:  # pad the tail part only
-                c2 = np.zeros((chunk_rows, L_cols), dtype=np.uint8)
+            if c_np.shape[0] < chunk_rows:
+                # bucket the tail part instead of padding it to the full
+                # budget: a 796M-window build's 3rd part held 0.44M real
+                # rows padded to 2.4M — a full 384M-window sort for ~70M
+                # live windows. The bucketed tail costs one extra
+                # compiled shape (from the standard ladder) and cuts the
+                # dead sort volume ~5x on that part (VERDICT r3 weak #2).
+                tail_rows = min(chunk_rows, _bucket_size(c_np.shape[0]))
+                c2 = np.zeros((tail_rows, L_cols), dtype=np.uint8)
                 c2[: c_np.shape[0]] = c_np
-                l2 = np.zeros((chunk_rows,), dtype=np.int32)
+                l2 = np.zeros((tail_rows,), dtype=np.int32)
                 l2[: l_np.shape[0]] = l_np
                 c_np, l_np = c2, l2
             parts.append((upload_codes(c_np), jnp.asarray(l_np)))

