@@ -682,6 +682,18 @@ def build_dbg_from_reads(
             last = jnp.concatenate(
                 [last] + [revcomp_kmers(f, k) for f in firsts]
             )
+        if bucket_shapes:
+            # the bucketed tail part makes this concat's length dataset-
+            # dependent; SENTINEL-pad to a bucket so the last-window
+            # count program is shared across datasets (SENTINEL windows
+            # are already present from zero-length pad rows and are
+            # ignored downstream)
+            L_last = int(last.shape[0])
+            L_bkt = _bucket_size(L_last)
+            if L_bkt > L_last:
+                last = jnp.concatenate(
+                    [last, jnp.full((L_bkt - L_last,), SENTINEL, last.dtype)]
+                )
         del parts, firsts, lasts_f
     else:
         codes_j = upload_codes(codes_np)  # 2-bit packed over the tunnel

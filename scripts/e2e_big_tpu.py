@@ -2,7 +2,12 @@
 pipeline on one chip (chunked graph build, big-graph cycle scan, chunked
 read mapping). ~100M k-mer windows with RC.
 
-Usage: python scripts/e2e_big_tpu.py [n_arrays] [background_len]
+Usage: python scripts/e2e_big_tpu.py [n_arrays] [background_len] [background_coverage]
+
+(background_coverage scales the window count at a FIXED node count —
+the graph is determined by the genome, the window volume by coverage;
+e.g. 400 62000000 10.4 ≈ 1B windows over the same 124.5M-node graph as
+the 8.0-coverage 796M-window artifact.)
 """
 
 import os
@@ -25,6 +30,7 @@ from mcaat_tpu.settings import Settings
 def main():
     n_arrays = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     background_len = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+    background_coverage = float(sys.argv[3]) if len(sys.argv) > 3 else 8.0
     coverage = 35.0
     t0 = time.time()
     meta = make_metagenome(
@@ -32,7 +38,7 @@ def main():
         n_arrays=n_arrays,
         n_spacers=6,
         background_len=background_len,
-        background_coverage=8.0,
+        background_coverage=background_coverage,
         coverage=coverage,
     )
     write_fastq("/tmp/e2e_big_reads.fq", meta["reads"])
