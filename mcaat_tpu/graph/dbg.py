@@ -583,6 +583,7 @@ def build_dbg_from_reads(
 
     codes_np = np.asarray(codes)
     lengths_np = np.asarray(lengths)
+    R_input = int(codes_np.shape[0])  # caller rows, pre-bucket
     if bucket_shapes:
         R, L = codes_np.shape
         R_pad = _bucket_size(R)
@@ -645,11 +646,22 @@ def build_dbg_from_reads(
 
         windows_per_row = max(min(L_cols - k, w24), 1) * (2 if add_rc else 1)
         chunk_rows = max(chunk_windows // windows_per_row, 1)
-        n_chunks = (R_rows + chunk_rows - 1) // chunk_rows
+        # parts past the CALLER's row count are pure bucket padding
+        # (zero-length rows, zero windows): a 1.03B-window run's 4th part
+        # was all padding yet cost two cold compiles and 1.5s warm — stop
+        # at the last caller row (the row-count bucket only exists for
+        # the single-pass path's shape reuse; parts re-bucket themselves,
+        # and endpoints_out stays row-aligned because callers slice
+        # [:num_reads] <= R_input)
+        rows_eff = min(R_rows, max(R_input, 1))
+        n_chunks = (rows_eff + chunk_rows - 1) // chunk_rows
         parts = []
         for ci in range(n_chunks):
             c_np = codes_np[ci * chunk_rows : (ci + 1) * chunk_rows]
             l_np = lengths_np[ci * chunk_rows : (ci + 1) * chunk_rows]
+            if ci == n_chunks - 1 and rows_eff < (ci + 1) * chunk_rows:
+                c_np = c_np[: max(rows_eff - ci * chunk_rows, 1)]
+                l_np = l_np[: c_np.shape[0]]
             if c_np.shape[0] < chunk_rows:
                 # bucket the tail part instead of padding it to the full
                 # budget: a 796M-window build's 3rd part held 0.44M real

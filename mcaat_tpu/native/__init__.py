@@ -93,6 +93,16 @@ def _load() -> Optional[ctypes.CDLL]:
             c.c_int64,
             c.POINTER(c.c_uint8),
         ]
+    if hasattr(lib, "mcaat_scc"):  # older .so builds lack it
+        lib.mcaat_scc.restype = c.c_int64
+        lib.mcaat_scc.argtypes = [
+            c.POINTER(c.c_int64),
+            c.POINTER(c.c_int64),
+            c.c_int64,
+            c.POINTER(c.c_uint8),
+            c.POINTER(c.c_int64),
+            c.POINTER(c.c_int64),
+        ]
     _lib = lib
     return _lib
 
@@ -117,6 +127,40 @@ def pack_codes(codes) -> "np.ndarray | None":
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out
+
+
+def scc_components(indptr, indices, valid) -> "list[list[int]] | None":
+    """Tarjan SCC over a CSR adjacency — result- AND order-identical to
+    ordering.find_strongly_connected_components (the caller's fallback).
+    Returns the list of >1-node components in emission order, or None
+    when the native lib is unbuilt/old."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "mcaat_scc"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    valid_u8 = np.ascontiguousarray(valid, dtype=np.uint8)
+    n = valid_u8.shape[0]
+    order = np.empty(max(n, 1), dtype=np.int64)
+    sizes = np.empty(max(n, 1), dtype=np.int64)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    n_comp = lib.mcaat_scc(
+        indptr.ctypes.data_as(p64),
+        indices.ctypes.data_as(p64),
+        ctypes.c_int64(n),
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        order.ctypes.data_as(p64),
+        sizes.ctypes.data_as(p64),
+    )
+    comps: list[list[int]] = []
+    pos = 0
+    for ci in range(int(n_comp)):
+        sz = int(sizes[ci])
+        comps.append(order[pos : pos + sz].tolist())
+        pos += sz
+    return comps
 
 
 def native_available() -> bool:

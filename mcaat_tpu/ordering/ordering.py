@@ -152,10 +152,20 @@ def find_strongly_connected_components(
     Matches the reference's traversal (ascending node order, out-neighbors
     filtered by validity; src/spacer_ordering.cpp:3-76) without the
     recursion-depth hazard. Neighbor lists come from one vectorized CSR
-    pass; index/lowlink state is flat arrays, not dicts.
+    pass; index/lowlink state is flat arrays, not dicts. When the native
+    lib is built, the Tarjan walk itself runs in C (mcaat_scc — emission
+    AND intra-component order identical; ~50x over this Python loop,
+    which ran 4.1s on the 796M-window run's 394k-node condensed region);
+    randomized parity: tests/test_ordering.py::test_native_scc_parity.
     """
     n = out.shape[0]
     indptr, indices = _valid_csr(out, valid)
+
+    from mcaat_tpu.native import scc_components
+
+    native_comps = scc_components(indptr, indices, valid)
+    if native_comps is not None:
+        return native_comps
     index_map = np.full(n, -1, dtype=np.int64)
     lowlink = np.zeros(n, dtype=np.int64)
     on_stack = np.zeros(n, dtype=bool)

@@ -126,7 +126,8 @@ def get_reads(
     b1 = _batch(fastq_file_1)
     _tick(f"parse ({b1.num_reads} reads)")
     chains.extend(
-        _map_batch(graph, b1, cycle_nodes, endpoints=_eps(fastq_file_1, False))
+        _map_batch(graph, b1, cycle_nodes, endpoints=_eps(fastq_file_1, False),
+                   verbose=verbose)
     )
     _tick("map")
     if fastq_file_2:
@@ -134,7 +135,8 @@ def get_reads(
         _tick(f"parse mate-2")
         chains.extend(
             _map_batch(
-                graph, b2, cycle_nodes, endpoints=_eps(fastq_file_2, True)
+                graph, b2, cycle_nodes, endpoints=_eps(fastq_file_2, True),
+                verbose=verbose,
             )
         )
         _tick("map mate-2")
@@ -232,6 +234,7 @@ def _chains_for_kept(
     kept_idx: np.ndarray,
     L_pad: int,
     chunk_reads: int,
+    tick=None,
 ) -> list[list[int]]:
     """Phase 2: full window chains for the (rare) kept reads only; the
     kept count is bucketed so the extract+lookup hit a handful of
@@ -259,10 +262,14 @@ def _chains_for_kept(
             .reshape(kmers.shape)[:n_kept]
             .astype(jnp.int32)
         )
+        if tick is not None:
+            tick(f"chain lookup+download ({n_kept} kept)")
         n_win_host = np.maximum(lengths_k[:n_kept] - graph.k + 1, 0)
         chains.extend(
             ids_kept[i, : int(n_win_host[i])].tolist() for i in range(n_kept)
         )
+        if tick is not None:
+            tick("chain materialize")
     return chains
 
 
@@ -285,6 +292,7 @@ def _map_batch(
     cycle_nodes: set[int],
     chunk_reads: int = 1 << 20,
     endpoints: tuple | None = None,
+    verbose: bool = False,
 ) -> list[list[int]]:
     """Batched window lookup in read blocks (memory-bounded at scale).
 
@@ -296,7 +304,9 @@ def _map_batch(
     if full_batch.num_reads == 0:
         return []
     from mcaat_tpu.graph.dbg import _bucket_size
+    from mcaat_tpu.utils.profiling import tick_printer
 
+    _t = tick_printer("mapper", verbose)
     cyc_j = _bucketed_cycle_table(cycle_nodes)
 
     # pad L to a multiple of 32 so datasets share compiled shapes
@@ -327,9 +337,10 @@ def _map_batch(
             cyc_j, graph.k,
         )
         kept_idx = np.nonzero(np.asarray(keep_d)[:R_total])[0]
+        _t(f"endpoint keep decision ({len(kept_idx)} kept)")
         return _chains_for_kept(
             graph, full_batch.codes, full_batch.lengths, kept_idx,
-            L_pad, chunk_reads,
+            L_pad, chunk_reads, tick=_t if verbose else None,
         )
 
     from mcaat_tpu.kmer.count import upload_codes

@@ -183,6 +183,79 @@ void mcaat_pack_codes(const uint8_t* codes, int64_t rows, int64_t L,
 }
 
 // ---------------------------------------------------------------------------
+// SCC split (iterative Tarjan; reference src/spacer_ordering.cpp:3-76)
+// ---------------------------------------------------------------------------
+// Result-identical fast path for ordering.find_strongly_connected_components
+// (which stays as the fallback): roots ascend over valid nodes, neighbors
+// in CSR slot order, a component is emitted when its head finishes,
+// single-node components are dropped. order_out receives node ids in
+// stack-pop order concatenated per component (the Python version's exact
+// intra-component order); sizes_out[c] the emitted component's size. Both
+// caller-allocated with capacity n. Returns the emitted component count.
+// Pure Python runs ~100k nodes/s (4.1s on the 394k-node condensed region
+// of the 796M-window run); this pass is ~50x.
+int64_t mcaat_scc(const int64_t* indptr, const int64_t* indices,
+                  int64_t n, const uint8_t* valid,
+                  int64_t* order_out, int64_t* sizes_out) {
+  std::vector<int64_t> index_map(n, -1), lowlink(n, 0);
+  std::vector<uint8_t> on_stack(n, 0);
+  std::vector<int64_t> tstack;
+  std::vector<std::pair<int64_t, int64_t>> work;  // (node, neighbor cursor)
+  int64_t counter = 0, n_comp = 0, out_pos = 0;
+  for (int64_t root = 0; root < n; ++root) {
+    if (!valid[root] || index_map[root] >= 0) continue;
+    index_map[root] = lowlink[root] = counter++;
+    tstack.push_back(root);
+    on_stack[root] = 1;
+    work.clear();
+    work.emplace_back(root, indptr[root]);
+    while (!work.empty()) {
+      int64_t node = work.back().first;
+      int64_t i = work.back().second;
+      int64_t end = indptr[node + 1];
+      bool advanced = false;
+      while (i < end) {
+        int64_t nb = indices[i];
+        ++i;
+        if (index_map[nb] < 0) {
+          work.back().second = i;
+          index_map[nb] = lowlink[nb] = counter++;
+          tstack.push_back(nb);
+          on_stack[nb] = 1;
+          work.emplace_back(nb, indptr[nb]);
+          advanced = true;
+          break;
+        } else if (on_stack[nb]) {
+          if (index_map[nb] < lowlink[node]) lowlink[node] = index_map[nb];
+        }
+      }
+      if (advanced) continue;
+      work.pop_back();
+      if (lowlink[node] == index_map[node]) {
+        int64_t sz = 0;
+        for (;;) {
+          int64_t w = tstack.back();
+          tstack.pop_back();
+          on_stack[w] = 0;
+          order_out[out_pos + sz] = w;
+          ++sz;
+          if (w == node) break;
+        }
+        if (sz > 1) {  // single-node components overwrite in place
+          sizes_out[n_comp++] = sz;
+          out_pos += sz;
+        }
+      }
+      if (!work.empty()) {
+        int64_t parent = work.back().first;
+        if (lowlink[node] < lowlink[parent]) lowlink[parent] = lowlink[node];
+      }
+    }
+  }
+  return n_comp;
+}
+
+// ---------------------------------------------------------------------------
 // Bounded multicycle enumeration (reference src/cycle_finder.cpp:140-243)
 // ---------------------------------------------------------------------------
 

@@ -110,6 +110,38 @@ def test_divide_graph_into_subgraphs():
         assert all(v in sg.nodes for vs in sg.adjacency.values() for v in vs)
 
 
+def test_native_scc_parity(monkeypatch):
+    """The native Tarjan (mcaat_scc) must be result- AND order-identical
+    to the Python fallback — component emission order and intra-component
+    (stack-pop) node order both feed deterministic downstream iteration."""
+    import pytest
+
+    from mcaat_tpu.native import scc_components
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(5, 200))
+        out = np.full((n, 4), -1, dtype=np.int32)
+        for u in range(n):
+            deg = int(rng.integers(0, 4))
+            out[u, :deg] = rng.integers(0, n, size=deg)
+        valid = rng.random(n) > 0.15
+        from mcaat_tpu.ordering.ordering import _valid_csr
+
+        indptr, indices = _valid_csr(out, valid)
+        native = scc_components(indptr, indices, valid)
+        if native is None:
+            pytest.skip("native lib not built")
+        import mcaat_tpu.ordering.ordering as mod
+
+        monkeypatch.setattr(
+            "mcaat_tpu.native.scc_components", lambda *a: None
+        )
+        python = mod.find_strongly_connected_components(out, valid)
+        monkeypatch.undo()
+        assert native == python, f"trial {trial}"
+
+
 # ---- constraints ----------------------------------------------------------
 
 
