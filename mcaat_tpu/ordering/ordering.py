@@ -246,12 +246,18 @@ def divide_graph_into_subgraphs(out: np.ndarray, valid: np.ndarray) -> list[Subg
 
 
 def get_crispr_regions_extended_by_k(
-    graph: DBG, k_hops: int, cycles: list[list[int]]
+    graph: DBG, k_hops: int, cycles: list[list[int]], verbose: bool = False
 ) -> tuple[DBG, list[Subgraph]]:
+    from mcaat_tpu.utils.profiling import tick_printer
+
+    _t = tick_printer("  region split", verbose)
     graph = keep_crispr_regions_extended_by_k(graph, k_hops, cycles)
-    subgraphs = divide_graph_into_subgraphs(
-        np.asarray(graph.out).reshape(-1, 4), np.asarray(graph.valid)
-    )
+    _t("keep_crispr growth")
+    out_h = np.asarray(graph.out).reshape(-1, 4)
+    valid_h = np.asarray(graph.valid)
+    _t("adjacency download")
+    subgraphs = divide_graph_into_subgraphs(out_h, valid_h)
+    _t("SCC + subgraph build")
     return graph, subgraphs
 
 

@@ -296,7 +296,9 @@ def spacer_ordering_step(
 
     if verbose:
         print("  ▸ Splitting into subproblems")
-    graph, subgraphs = get_crispr_regions_extended_by_k(graph, read_chain_len, cycles)
+    graph, subgraphs = get_crispr_regions_extended_by_k(
+        graph, read_chain_len, cycles, verbose=verbose
+    )
     _tick("region split (SCC)")
 
     if verbose:
