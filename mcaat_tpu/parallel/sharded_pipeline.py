@@ -371,8 +371,9 @@ def sharded_get_reads(
     carry GLOBAL node ids.
 
     ``sources`` carries already-parsed batches + host endpoint k-mers
-    (zero FASTQ re-parses; phase 1 uploads 16 bytes/read — 2 routed
-    lookups — instead of the code matrix). In multi-process runs each
+    (zero FASTQ re-parses; phase 1 is host np.isin against the
+    replicated cycle k-mer table — zero uploads, zero routed lookups —
+    instead of the code matrix). In multi-process runs each
     process maps only its OWN record ranges and the kept chains are
     allgathered into global file order, so read mapping scales with
     process count while every process still ends with the identical
@@ -383,10 +384,11 @@ def sharded_get_reads(
     if sources is None:
         sources = default_map_sources(sg, fastq_file_1, fastq_file_2)
     cycle_nodes = sorted({int(n) for cyc in cycles for n in cyc})
+    cyc_kms = _cycle_kmers_for_gids(sg, cycle_nodes)
     chains: list[list[int]] = []
     keys: list[int] = []
     for src in sources:
-        c, ky = _map_batch_sharded(sg, src, cycle_nodes, chunk_reads)
+        c, ky = _map_batch_sharded(sg, src, cyc_kms, chunk_reads)
         chains.extend(c)
         keys.extend(ky)
     if jax.process_count() > 1:
@@ -435,20 +437,47 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
     return np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)
 
 
-def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cycle_nodes, chunk_reads):
+def _cycle_kmers_for_gids(sg: ShardedDBG, cycle_nodes) -> np.ndarray:
+    """K-mers of the cycle nodes (global ids) from the sharded table —
+    one tiny replicated-output gather program (bucket-padded ids for
+    shape reuse); every process computes the identical array. Lets the
+    keep decision run as host np.isin against the stashed endpoint
+    k-mers: ZERO routed lookups in mapping phase 1 (k-mer membership in
+    the cycle set ⟺ node-id membership, since node k-mers are unique)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kp, T = sg.kmers.shape
+    gids = np.asarray(sorted(int(g) for g in cycle_nodes), dtype=np.int64)
+    n = len(gids)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    pad = _bucket_size(n)
+    gids_b = np.zeros(pad, dtype=np.int64)
+    gids_b[:n] = gids
+    g = jnp.asarray(gids_b)
+    fn = _jax.jit(
+        lambda K: K[g // T, g % T],
+        out_shardings=NamedSharding(sg.mesh, P()),
+    )
+    return np.asarray(fn(sg.kmers))[:n]
+
+
+def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cyc_kms: np.ndarray,
+                       chunk_reads):
     """Returns (chains, order_keys) for the kept reads of one source.
 
-    Phase 1 routes ONLY the host-stashed endpoint k-mers (16 bytes/read
-    up the wire, 2 routed lookups/read); the full code matrix uploads
+    Phase 1 is pure host work — the stashed endpoint k-mers test
+    membership in the (replicated, tiny) cycle k-mer table — so the
+    keep decision costs zero device programs and zero routing (r4;
+    previously 2 routed lookups/read). The full code matrix uploads
     only for the kept reads (~3% on CRISPR-bearing data)."""
-    from mcaat_tpu.kmer.count import SENTINEL as _SEN, extract_kmers, upload_codes
+    from mcaat_tpu.kmer.count import extract_kmers, upload_codes
 
     full_batch = src.batch
     if full_batch.num_reads == 0:
         return [], []
-    cyc = np.asarray(cycle_nodes, dtype=np.int64)
     k = sg.k
-    sen = int(_SEN)
     L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
     if L_pad < k:
         return [], []
@@ -459,15 +488,14 @@ def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cycle_nodes, chunk_reads)
         R = len(l_np)
         # phase 1: endpoint-only keep decision (reference keeps a read iff
         # its first or last window node is in the cycle set,
-        # src/reads.cpp:74-76) — endpoints come from the host stash
-        Q = _bucket_size(2 * R)
-        ends = np.full(Q, sen, dtype=np.int64)
-        ends[:R] = src.first_km[lo : lo + chunk_reads]
-        ends[R : 2 * R] = src.last_km[lo : lo + chunk_reads]
-        end_ids = _sharded_lookup_ids(sg, ends)
-        firsts, lasts = end_ids[:R], end_ids[R : 2 * R]
+        # src/reads.cpp:74-76) — k-mer membership on host. SENTINEL
+        # endpoints (len < k) never match a real cycle k-mer.
+        firsts_km = src.first_km[lo : lo + chunk_reads]
+        lasts_km = src.last_km[lo : lo + chunk_reads]
         eligible = l_np > 2 * k
-        keep = eligible & (np.isin(firsts, cyc) | np.isin(lasts, cyc))
+        keep = eligible & (
+            np.isin(firsts_km, cyc_kms) | np.isin(lasts_km, cyc_kms)
+        )
         kept_idx = np.nonzero(keep)[0]
         if len(kept_idx) == 0:
             continue

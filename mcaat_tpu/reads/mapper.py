@@ -173,26 +173,29 @@ def _keep_mask_jit(ids, n_windows, lengths, cyc_sorted, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _endpoint_keep_mask(table, codes, lengths, cyc_sorted, k: int):
+def _endpoint_keep_mask(cyc_kmers, codes, lengths, k: int):
     """Keep predicate from the two endpoint windows only.
 
     The reference keeps a read iff its FIRST or LAST k-mer's node is in
     the cycle set (src/reads.cpp:74-76) — so only those two windows need
-    extraction + lookup to decide keep. Full window chains are then
-    materialized for the (rare) kept reads alone: at 105M windows /
-    675k reads only ~3% survive, so this cuts the mapping stage's
-    extract+lookup volume ~25x versus scoring every window.
+    extraction to decide keep. Full window chains are then materialized
+    for the (rare) kept reads alone: at 105M windows / 675k reads only
+    ~3% survive, so this cuts the mapping stage's extract+lookup volume
+    ~25x versus scoring every window. The membership test joins the
+    endpoint k-mers against the CYCLE NODES' OWN k-mer table (node id =
+    k-mer rank, so sorted cycle ids gather to a sorted k-mer table) —
+    equivalent to lookup-then-id-membership, but the sort-join is
+    2R + |cycles| rows instead of 2R + N (the full-table join sorted
+    ~147M rows = ~2.4s of the 796M run's keep tick for an ~800-node set).
     """
     from mcaat_tpu.kmer.count import extract_first_kmer, extract_last_kmer
 
     first_km = extract_first_kmer(codes, lengths, k)
     last_km = extract_last_kmer(codes, lengths, k)
-    both = jnp.concatenate([first_km, last_km])
-    ids = _lookup_ids(table, both)
-    R = codes.shape[0]
-    firsts, lasts = ids[:R], ids[R:]
     eligible = lengths > 2 * k
-    return eligible & (_isin_sorted(firsts, cyc_sorted) | _isin_sorted(lasts, cyc_sorted))
+    return eligible & (
+        _isin_sorted(first_km, cyc_kmers) | _isin_sorted(last_km, cyc_kmers)
+    )
 
 
 def _lookup_ids(table, query):
@@ -216,15 +219,18 @@ def _map_sequences(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _keep_from_endpoints(table, first_km, last_km, lengths, cyc_sorted, k: int):
+def _keep_from_endpoints(cyc_kmers, first_km, last_km, lengths, k: int):
     """Keep predicate from PRE-EXTRACTED endpoint k-mers (device-resident
     from the build — see ``build_dbg_from_reads(endpoints_out=...)``): no
-    code-matrix re-upload at all."""
-    ids = _lookup_ids(table, jnp.concatenate([first_km, last_km]))
-    R = first_km.shape[0]
-    firsts, lasts = ids[:R], ids[R:]
+    code-matrix re-upload at all. Joins against the cycle nodes' k-mer
+    table (see :func:`_endpoint_keep_mask` for why that equals the
+    full-table lookup at a fraction of the sort volume). SENTINEL
+    endpoints (len < k rows, stash padding) only occur on ineligible
+    rows; the table pad (int64 max - 1) matches nothing either way."""
     eligible = lengths > 2 * k
-    return eligible & (_isin_sorted(firsts, cyc_sorted) | _isin_sorted(lasts, cyc_sorted))
+    return eligible & (
+        _isin_sorted(first_km, cyc_kmers) | _isin_sorted(last_km, cyc_kmers)
+    )
 
 
 def _chains_for_kept(
@@ -286,6 +292,25 @@ def _bucketed_cycle_table(cycle_nodes: set[int]) -> jax.Array:
     return jnp.asarray(cyc_b)
 
 
+def _bucketed_cycle_kmer_table(graph: DBG, cycle_nodes: set[int]) -> jax.Array:
+    """Sorted cycle-node K-MER table for the keep joins: node id == k-mer
+    rank, so gathering graph.kmers at the ascending cycle ids yields a
+    sorted table. Bucket-padded with int64 max - 1 — above every real
+    (46-bit) k-mer, below/distinct from SENTINEL (int64 max), so padded
+    rows match neither real endpoints nor SENTINEL endpoints."""
+    from mcaat_tpu.graph.dbg import _bucket_size
+
+    cyc = np.fromiter(cycle_nodes, dtype=np.int64, count=len(cycle_nodes))
+    cyc.sort()
+    c_pad = _bucket_size(max(len(cyc), 1))
+    ids_b = np.zeros(c_pad, dtype=np.int64)
+    ids_b[: len(cyc)] = cyc
+    kms = graph.kmers[jnp.asarray(ids_b)]
+    pad_val = jnp.int64(np.iinfo(np.int64).max - 1)
+    live = jnp.arange(c_pad) < len(cyc)
+    return jnp.where(live, kms, pad_val)
+
+
 def _map_batch(
     graph: DBG,
     full_batch: ReadBatch,
@@ -307,7 +332,7 @@ def _map_batch(
     from mcaat_tpu.utils.profiling import tick_printer
 
     _t = tick_printer("mapper", verbose)
-    cyc_j = _bucketed_cycle_table(cycle_nodes)
+    cyc_km_j = _bucketed_cycle_kmer_table(graph, cycle_nodes)
 
     # pad L to a multiple of 32 so datasets share compiled shapes
     L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
@@ -333,8 +358,7 @@ def _map_batch(
         lengths_full = np.zeros(R_pad, dtype=np.int32)
         lengths_full[:R_total] = full_batch.lengths
         keep_d = _keep_from_endpoints(
-            graph.kmers, first_km, last_km, jnp.asarray(lengths_full),
-            cyc_j, graph.k,
+            cyc_km_j, first_km, last_km, jnp.asarray(lengths_full), graph.k
         )
         kept_idx = np.nonzero(np.asarray(keep_d)[:R_total])[0]
         _t(f"endpoint keep decision ({len(kept_idx)} kept)")
@@ -362,7 +386,7 @@ def _map_batch(
         # phase 1: endpoint-only keep decision (2 windows per read);
         # codes go up 2-bit packed (the tunnel is transfer-bound)
         keep_d = _endpoint_keep_mask(
-            graph.kmers, upload_codes(codes), jnp.asarray(lengths), cyc_j, graph.k
+            cyc_km_j, upload_codes(codes), jnp.asarray(lengths), graph.k
         )
         kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
         if len(kept_idx) == 0:
