@@ -179,3 +179,27 @@ def test_build_adjacency_chunked_matches_single_shot():
     )
     np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(in_c), np.asarray(in_ref))
+
+
+def test_bucket_size_ladder():
+    """Fine {1, 1.25, 1.5, 1.75} x pow2 tiers below the 64M-row coarse
+    threshold, {1, 1.5} x pow2 above it (fewer tiers -> cross-dataset
+    compiled-shape reuse; ARCHITECTURE.md 'Compile ladder')."""
+    from mcaat_tpu.graph.dbg import _COARSE_BUCKET_MIN, _bucket_size
+
+    assert _COARSE_BUCKET_MIN == 64 * 1024 * 1024  # default env
+    # fine tiers below the threshold
+    assert _bucket_size(1_100_000) == 1_310_720  # 1.25 x 2^20
+    assert _bucket_size(1_400_000) == 1_572_864  # 1.5 x 2^20
+    assert _bucket_size(1_900_000) == 2_097_152  # 2 x 2^20
+    assert _bucket_size(1024) == 1024
+    assert _bucket_size(1025) == 1280
+    # coarse tiers above: the 1.25/1.75 steps vanish
+    assert _bucket_size(70_000_000) == 100_663_296  # 1.5 x 2^26 (fine: 83.9M)
+    assert _bucket_size(110_000_000) == 134_217_728  # 2 x 2^26 (fine: 117.4M)
+    # the r3/r4 artifact shapes are tier-stable across the ladder change
+    assert _bucket_size(100_663_296) == 100_663_296
+    assert _bucket_size(124_506_334) == 134_217_728
+    # buckets are always >= n (no silent truncation anywhere)
+    for n in (3, 999, 4097, 67_108_865, 200_000_000):
+        assert _bucket_size(n) >= n
