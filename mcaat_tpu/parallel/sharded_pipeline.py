@@ -36,6 +36,8 @@ them), so the ordering output is identical to the single-device run.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -437,6 +439,19 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
     return np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)
 
 
+@functools.lru_cache(maxsize=None)
+def _gid_kmer_gather(mesh):
+    """Cached replicated-output gather (a per-call jit(lambda) would
+    retrace — and remote-recompile — on every pipeline run)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return _jax.jit(
+        lambda K, g: K[g // K.shape[1], g % K.shape[1]],
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
 def _cycle_kmers_for_gids(sg: ShardedDBG, cycle_nodes) -> np.ndarray:
     """K-mers of the cycle nodes (global ids) from the sharded table —
     one tiny replicated-output gather program (bucket-padded ids for
@@ -444,10 +459,6 @@ def _cycle_kmers_for_gids(sg: ShardedDBG, cycle_nodes) -> np.ndarray:
     keep decision run as host np.isin against the stashed endpoint
     k-mers: ZERO routed lookups in mapping phase 1 (k-mer membership in
     the cycle set ⟺ node-id membership, since node k-mers are unique)."""
-    import jax as _jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    kp, T = sg.kmers.shape
     gids = np.asarray(sorted(int(g) for g in cycle_nodes), dtype=np.int64)
     n = len(gids)
     if n == 0:
@@ -455,12 +466,8 @@ def _cycle_kmers_for_gids(sg: ShardedDBG, cycle_nodes) -> np.ndarray:
     pad = _bucket_size(n)
     gids_b = np.zeros(pad, dtype=np.int64)
     gids_b[:n] = gids
-    g = jnp.asarray(gids_b)
-    fn = _jax.jit(
-        lambda K: K[g // T, g % T],
-        out_shardings=NamedSharding(sg.mesh, P()),
-    )
-    return np.asarray(fn(sg.kmers))[:n]
+    fn = _gid_kmer_gather(sg.mesh)
+    return np.asarray(fn(sg.kmers, jnp.asarray(gids_b)))[:n]
 
 
 def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cyc_kms: np.ndarray,
