@@ -154,24 +154,6 @@ def _isin_sorted(x, table_sorted):
     return (x >= 0) & (table_sorted[pos_c] == x64)
 
 
-def _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k: int):
-    """Device-side keep predicate over a full window-id matrix (first/last
-    window node in the cycle set, src/reads.cpp:74-76). Retained for
-    :func:`map_reads_to_nodes` callers; the production mapper decides keep
-    from the two endpoint k-mers alone (:func:`_endpoint_keep_mask`)."""
-    firsts = ids[:, 0]
-    W = ids.shape[1]
-    last_idx = jnp.clip(n_windows - 1, 0, W - 1).astype(jnp.int32)
-    lasts = jnp.take_along_axis(ids, last_idx[:, None], axis=1)[:, 0]
-    eligible = (lengths > 2 * k) & (n_windows > 0)
-    return eligible & (_isin_sorted(firsts, cyc_sorted) | _isin_sorted(lasts, cyc_sorted))
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _keep_mask_jit(ids, n_windows, lengths, cyc_sorted, k: int):
-    return _device_keep_mask(ids, n_windows, lengths, cyc_sorted, k)
-
-
 @functools.partial(jax.jit, static_argnames=("k",))
 def _endpoint_keep_mask(cyc_kmers, codes, lengths, k: int):
     """Keep predicate from the two endpoint windows only.
@@ -277,19 +259,6 @@ def _chains_for_kept(
         if tick is not None:
             tick("chain materialize")
     return chains
-
-
-def _bucketed_cycle_table(cycle_nodes: set[int]) -> jax.Array:
-    """Sorted cycle-node id table, bucket-padded with a never-matching
-    sentinel so the jitted keep-masks reuse compiled shapes."""
-    from mcaat_tpu.graph.dbg import _bucket_size
-
-    cyc = np.fromiter(cycle_nodes, dtype=np.int64, count=len(cycle_nodes))
-    cyc.sort()
-    c_pad = _bucket_size(max(len(cyc), 1))
-    cyc_b = np.full(c_pad, np.iinfo(np.int64).max, dtype=np.int64)
-    cyc_b[: len(cyc)] = cyc
-    return jnp.asarray(cyc_b)
 
 
 def _bucketed_cycle_kmer_table(graph: DBG, cycle_nodes: set[int]) -> jax.Array:
