@@ -227,7 +227,14 @@ def find_strongly_connected_components(
 
 
 def divide_graph_into_subgraphs(out: np.ndarray, valid: np.ndarray) -> list[Subgraph]:
-    """≙ reference src/spacer_ordering.cpp:141-175 (vectorized per SCC)."""
+    """≙ reference src/spacer_ordering.cpp:141-175 (vectorized per SCC).
+
+    Adjacency lists assemble by run-splitting the row-major edge
+    selection — each component node appears as exactly one row, so its
+    kept out-slots are contiguous and the dict insertion order (first
+    appearance of u) plus each u's neighbor order (slot order) are
+    byte-identical to the former per-edge ``add_edge`` loop.
+    """
     subgraphs: list[Subgraph] = []
     in_comp = np.full(out.shape[0], -1, dtype=np.int64)
     for ci, component in enumerate(find_strongly_connected_components(out, valid)):
@@ -237,11 +244,18 @@ def divide_graph_into_subgraphs(out: np.ndarray, valid: np.ndarray) -> list[Subg
         ok = (rows >= 0) & (in_comp[np.maximum(rows, 0)] == ci)
         us = np.repeat(comp, 4).reshape(-1, 4)[ok]
         vs = rows[ok]
+        if len(us) == 0:
+            continue
         sg = Subgraph()
-        for u, v in zip(us.tolist(), vs.tolist()):
-            sg.add_edge(int(u), int(v))
-        if sg.nodes:
-            subgraphs.append(sg)
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        ends = np.r_[starts[1:], len(us)]
+        sg.adjacency = {
+            int(us[s]): vs[s:e].tolist() for s, e in zip(starts, ends)
+        }
+        # every node of a >1-node SCC has an internal out- AND in-edge,
+        # so the reference's add_edge node set equals the component set
+        sg.nodes = set(comp.tolist())
+        subgraphs.append(sg)
     return subgraphs
 
 
