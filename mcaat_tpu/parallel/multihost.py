@@ -267,7 +267,11 @@ def run_pipeline_multihost(settings, verbose: bool = True,
     if stats_out is not None:
         # scaling-evidence hook (VERDICT r3 missing #3): per-shard live
         # rows vs allocated capacity, plus a node-table SHA every process
-        # can cross-check against a single-process build
+        # can cross-check against a single-process build. The SHA needs
+        # an O(N) host gather of the k-mer column — artifact/debug runs
+        # only; production callers must not pass stats_out at 1B-node
+        # scale (it would replicate the one column the design never
+        # replicates)
         import hashlib
 
         from mcaat_tpu.kmer.count import SENTINEL as _SENT

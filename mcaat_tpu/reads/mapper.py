@@ -180,12 +180,6 @@ def _endpoint_keep_mask(cyc_kmers, codes, lengths, k: int):
     )
 
 
-def _lookup_ids(table, query):
-    from mcaat_tpu.graph.dbg import _lookup
-
-    return _lookup(table, query)
-
-
 def _map_sequences(
     graph: DBG,
     sequences: list[str],
