@@ -487,7 +487,12 @@ def build_dbg(
     # 16GB fit was never measured past ~32M edges — keep the old cutoff
     # there.
     single_shot_max = 134_000_000 if u_id is not None else 32_000_000
-    if int(n_edges) > single_shot_max:
+    # the 16GB fit was measured at node AND edge buckets of 134.2M rows —
+    # a graph whose NODE table outgrows its edge table (possible after
+    # aggressive edge dedup) must not ride the edge-only gate outside the
+    # measured envelope (ADVICE r4)
+    node_rows = int(kmers23.shape[0])
+    if int(n_edges) > single_shot_max or node_rows > 134_217_728:
         out, in_ = build_adjacency_chunked(
             kmers23, edges24, int(n_edges), k=k, u_id=u_id
         )

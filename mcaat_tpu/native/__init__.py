@@ -167,6 +167,16 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def set_threads(n: int) -> None:
+    """Bound the native library's OpenMP team (the packer's parallel-for)
+    to ``n`` threads — ≙ the reference's omp_set_num_threads
+    (src/main.cpp:292-294). No-op when the library is unbuilt/old."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mcaat_set_threads") or n <= 0:
+        return
+    lib.mcaat_set_threads(ctypes.c_int(int(n)))
+
+
 def umap_order(keys: list[str]):
     """Indices permuting ``keys`` (first-seen order) into libstdc++
     ``unordered_map`` iteration order — the order the reference's

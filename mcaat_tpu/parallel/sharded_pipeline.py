@@ -442,7 +442,10 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _gid_kmer_gather(mesh):
     """Cached replicated-output gather (a per-call jit(lambda) would
-    retrace — and remote-recompile — on every pipeline run)."""
+    retrace — and remote-recompile — on every pipeline run). Keyed on the
+    Mesh object: pipeline processes build ONE mesh for their lifetime, so
+    the pinned entry count is 1 (ADVICE r4 — revisit if meshes ever churn
+    per run)."""
     import jax as _jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -600,12 +603,14 @@ def run_sharded_downstream(
     from mcaat_tpu.pipeline import (
         PipelineResult,
         benchmark_results,
+        configure_threads,
         print_results,
         spacer_ordering_step,
     )
     from mcaat_tpu.report.analyzer import CRISPRAnalyzer
     from mcaat_tpu.utils.profiling import Profiler
 
+    configure_threads(settings.threads)
     prof = profiler if profiler is not None else Profiler()
     t0 = time.time()
     result = PipelineResult()

@@ -356,6 +356,36 @@ def spacer_ordering_step(
 # 1 GB+ k-mer table must never be pickled per worker)
 _ORDERING_GRAPH = None
 
+# --threads: worker-count ceiling for the ordering pool (and the native
+# OpenMP packer, via native.set_threads). None = unset (cpu_count).
+_ORDERING_THREADS: int | None = None
+
+
+def configure_threads(n: int) -> None:
+    """Wire ``settings.threads`` into every parallel backend: the
+    ordering process pool defaults to it (``MCAAT_ORDERING_PROCS`` still
+    overrides) and the native library's OpenMP team is bounded by it.
+    ≙ the reference's omp_set_num_threads (src/main.cpp:292-294). A
+    non-positive ``n`` resets to the unset default."""
+    global _ORDERING_THREADS
+    _ORDERING_THREADS = int(n) if n and n > 0 else None
+    if _ORDERING_THREADS is not None:
+        from mcaat_tpu import native as _native
+
+        _native.set_threads(_ORDERING_THREADS)
+
+
+def _ordering_worker_count() -> int:
+    """Ordering-pool size: env override > --threads > cpu_count."""
+    import os
+
+    return int(
+        os.environ.get(
+            "MCAAT_ORDERING_PROCS",
+            str(_ORDERING_THREADS or os.cpu_count() or 1),
+        )
+    )
+
 # parallelize only past this subproblem count: below it the fork +
 # dispatch overhead exceeds the loop itself
 _ORDERING_POOL_MIN_SUBPROBLEMS = 8
@@ -399,9 +429,7 @@ def _solve_subproblems(host_graph, remaining):
     tasks = [
         (i, rr, rc) for i, (_sg, rr, rc) in enumerate(remaining)
     ]
-    n_procs = int(
-        os.environ.get("MCAAT_ORDERING_PROCS", str(os.cpu_count() or 1))
-    )
+    n_procs = _ordering_worker_count()
     _ORDERING_GRAPH = host_graph
     try:
         if n_procs > 1 and len(tasks) >= _ORDERING_POOL_MIN_SUBPROBLEMS:
@@ -512,6 +540,7 @@ def run_debug_pipeline(settings: Settings, verbose: bool = True) -> PipelineResu
     )
     from mcaat_tpu.systems.filters import Filters
 
+    configure_threads(settings.threads)
     result = PipelineResult()
     graph = build_graph_from_settings(settings)
 
@@ -685,6 +714,7 @@ def run_pipeline(
 
     from mcaat_tpu.utils.profiling import Profiler, compile_counter
 
+    configure_threads(settings.threads)
     if _sharded_mode(settings):
         result = _run_pipeline_sharded(
             settings, verbose, checkpoint_dir=checkpoint_dir

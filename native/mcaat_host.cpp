@@ -28,6 +28,10 @@
 
 #include <zlib.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -658,6 +662,17 @@ int mcaat_poa_consensus(const char* buf, const int64_t* offsets,
 // operator[] hits never move a node, so the multiset collapses to this);
 // output: order_out[i] = input index of the i-th key in map iteration
 // order. Returns the key count.
+// Bound the library's OpenMP parallelism (the packer's parallel-for) to
+// the CLI's --threads, like the reference's omp_set_num_threads in
+// src/main.cpp:292-294. No-op for n <= 0 or non-OpenMP builds.
+void mcaat_set_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+#else
+  (void)n;
+#endif
+}
+
 int64_t mcaat_umap_order(const char* buf, const int64_t* offsets,
                          int64_t n_keys, int64_t* order_out) {
   std::unordered_map<std::string, int64_t> m;

@@ -74,19 +74,29 @@ def parent() -> int:
         env["MCAAT_NUM_PROCESSES"] = str(N_PROC)
         env["MCAAT_PROCESS_ID"] = str(pid)
         env["MCAAT_AS_FASTQ"] = fq
+        # children advance in lockstep through jax.distributed collectives;
+        # PIPEs read sequentially can deadlock once a later child fills its
+        # 64KB buffer while child 0 still runs (ADVICE r4) — log to files
+        log_f = open(os.path.join(tmpdir, f"child{pid}.log"), "w+")
         procs.append(
-            subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
+            (
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    stdout=log_f,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                ),
+                log_f,
             )
         )
     child_stats = [None] * N_PROC
     ok = True
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=14400)
+    for pid, (p, log_f) in enumerate(procs):
+        p.wait(timeout=14400)
+        log_f.seek(0)
+        out = log_f.read()
+        log_f.close()
         for line in out.splitlines():
             if line.startswith("ATSCALE_STATS "):
                 child_stats[pid] = json.loads(line[len("ATSCALE_STATS "):])

@@ -307,3 +307,53 @@ def test_node_counter():
     assert count_nodes(cycles) == {1: 1, 2: 2, 3: 2, 4: 1}
     assert unique_nodes(cycles) == {1: 1, 4: 1}
     assert count_nodes({}) == {}
+
+
+# ---- --threads wiring (≙ src/main.cpp:292-294) ------------------------------
+
+
+def test_threads_drives_ordering_pool(monkeypatch):
+    """--threads must bound the ordering pool: 1 forces the serial loop,
+    MCAAT_ORDERING_PROCS still overrides, 0 resets to the cpu default."""
+    import os
+
+    from mcaat_tpu import pipeline as pl
+
+    monkeypatch.delenv("MCAAT_ORDERING_PROCS", raising=False)
+    try:
+        pl.configure_threads(1)
+        assert pl._ordering_worker_count() == 1
+        pl.configure_threads(3)
+        assert pl._ordering_worker_count() == 3
+        monkeypatch.setenv("MCAAT_ORDERING_PROCS", "5")
+        assert pl._ordering_worker_count() == 5
+        monkeypatch.delenv("MCAAT_ORDERING_PROCS")
+        pl.configure_threads(0)
+        assert pl._ordering_worker_count() == (os.cpu_count() or 1)
+    finally:
+        pl.configure_threads(0)
+
+
+def test_run_pipeline_applies_settings_threads(tmp_path, monkeypatch):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic import make_metagenome, write_fastq
+
+    from mcaat_tpu import pipeline as pl
+    from mcaat_tpu.settings import Settings
+
+    meta = make_metagenome(seed=5, n_arrays=1, n_spacers=3, coverage=25.0)
+    f = tmp_path / "r.fq"
+    write_fastq(str(f), meta["reads"])
+    monkeypatch.delenv("MCAAT_ORDERING_PROCS", raising=False)
+    s = Settings(
+        input_files=str(f), output_file=str(tmp_path / "o.txt"), threads=1
+    )
+    try:
+        pl.run_pipeline(s, verbose=False)
+        assert pl._ORDERING_THREADS == 1
+        assert pl._ordering_worker_count() == 1
+    finally:
+        pl.configure_threads(0)
