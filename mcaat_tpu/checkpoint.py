@@ -192,15 +192,23 @@ def load_cycles(path: str) -> dict[int, list[list[int]]]:
     return {int(k): [[int(x) for x in c] for c in v] for k, v in j.items()}
 
 
-def save_reads(path: str, reads: list[list[int]]) -> None:
+def save_reads(path: str, reads) -> None:
+    """``reads`` is a ``Chains`` (or list of lists); the JSON artifact
+    stays list-of-lists for cross-round compatibility."""
+    from mcaat_tpu.reads.chains import Chains
+
+    if isinstance(reads, Chains):
+        reads = reads.tolists()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
         json.dump(reads, fh)
 
 
-def load_reads(path: str) -> list[list[int]]:
+def load_reads(path: str):
+    from mcaat_tpu.reads.chains import Chains
+
     with open(path) as fh:
-        return [[int(x) for x in r] for r in json.load(fh)]
+        return Chains.from_lists([[int(x) for x in r] for r in json.load(fh)])
 
 
 def save_systems(path: str, found_systems) -> None:

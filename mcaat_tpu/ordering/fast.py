@@ -52,16 +52,18 @@ def generate_constraints_arrays(
     the first merged transition when both read endpoints are mapped
     (≙ generate_out_of_cycles_constraints_from_read).
     """
+    from mcaat_tpu.reads.chains import Chains
+
     if not node_to_cycle_map:
         return np.zeros((0, 2), np.int64), np.zeros((0,), np.int64)
     keys, vals = _index_lut(node_to_cycle_map)
-    # one batched lookup for all reads (reads are near-uniform chains)
-    reads = [r for r in reads if r]
-    if not reads:
+    # flat chains come in flat (Chains) — one batched lookup for all reads
+    chains = Chains.from_lists(reads)
+    chains = chains.select(np.nonzero(chains.lengths() > 0)[0])
+    if len(chains) == 0:
         return np.zeros((0, 2), np.int64), np.zeros((0,), np.int64)
-    lens = np.fromiter((len(r) for r in reads), dtype=np.int64, count=len(reads))
-    flat = np.concatenate([np.asarray(r, dtype=np.int64) for r in reads])
-    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = chains.flat
+    offs = chains.offsets
     pos = np.searchsorted(keys, flat)
     pos_c = np.minimum(pos, len(keys) - 1)
     hit_all = keys[pos_c] == flat
@@ -69,7 +71,7 @@ def generate_constraints_arrays(
 
     srcs: list[np.ndarray] = []
     dsts: list[np.ndarray] = []
-    for r in range(len(reads)):
+    for r in range(len(chains)):
         lo, hi = offs[r], offs[r + 1]
         hit = hit_all[lo:hi]
         seq = vals_all[lo:hi][hit]  # in-cycle indices, read order (unmerged)

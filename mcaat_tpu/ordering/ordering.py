@@ -313,18 +313,23 @@ def filter_subproblems(
     skip rule: no relevant reads, or fewer than 3 relevant cycles
     (main_run_and_debug.cpp:54-59).
     """
+    from mcaat_tpu.reads.chains import Chains
+
+    reads = Chains.from_lists(reads)
     sgid = np.full(graph_size, -1, dtype=np.int64)
     for i, sg in enumerate(subgraphs):
         sgid[np.fromiter(sg.nodes, dtype=np.int64, count=len(sg.nodes))] = i
 
-    e0 = np.full(len(reads), -1, dtype=np.int64)
-    e1 = np.full(len(reads), -1, dtype=np.int64)
-    for j, r in enumerate(reads):
-        if r:
-            if 0 <= r[0] < graph_size:
-                e0[j] = sgid[r[0]]
-            if 0 <= r[-1] < graph_size:
-                e1[j] = sgid[r[-1]]
+    # endpoint → subgraph index, vectorized over the flat chain arrays
+    firsts = reads.firsts()
+    lasts = reads.lasts()
+
+    def _ep_sgid(ep):
+        ok = (ep >= 0) & (ep < graph_size)
+        return np.where(ok, sgid[np.where(ok, ep, 0)], -1)
+
+    e0 = _ep_sgid(firsts)
+    e1 = _ep_sgid(lasts)
 
     # -3 = empty cycle (vacuously inside EVERY subgraph, matching
     # all() on an empty generator); -2 = spans subgraphs / outside
@@ -347,7 +352,7 @@ def filter_subproblems(
         relevant_cycles = get_minimum_cycles_for_full_coverage(relevant_cycles)
         if len(relevant_cycles) < 3:
             continue
-        relevant_reads = [reads[j] for j in np.nonzero((e0 == i) | (e1 == i))[0]]
+        relevant_reads = reads.select(np.nonzero((e0 == i) | (e1 == i))[0])
         if len(relevant_reads) == 0:
             continue
         remaining.append((sg, relevant_reads, relevant_cycles))

@@ -179,6 +179,10 @@ _vcount = jax.jit(jax.vmap(count_unique))
 _vmerge = jax.jit(jax.vmap(merge_counted))
 _vderive = jax.jit(jax.vmap(derive_nodes_from_edges))
 
+# elementwise, sharding-preserving: the reference's
+# InvalidateMultiplicityOneNodes (src/cycle_finder.cpp:372-382)
+_vmult_filter = jax.jit(lambda valid, mult: valid & (mult > 1))
+
 
 def _sbucket(n: int) -> int:
     from mcaat_tpu.graph.dbg import _bucket_size
@@ -431,6 +435,8 @@ def build_sharded_dbg(
     n_local_shards = len(mesh.local_devices)
     n_proc = jax.process_count()
 
+    import os as _os
+
     # agree on a common per-host row count and padded length
     R, L = codes.shape
     if n_proc > 1:
@@ -444,7 +450,9 @@ def build_sharded_dbg(
 
     # part sizing: one part's per-shard count input is
     # dp*kp*route_cap ≈ 2x (part windows)/kp rows
-    budget = count_shard_rows or SHARDED_COUNT_SHARD_ROWS
+    budget = count_shard_rows or int(
+        _os.environ.get("MCAAT_COUNT_SHARD_ROWS", SHARDED_COUNT_SHARD_ROWS)
+    )
     wpr = max(L_max - k, 1) * (2 if add_rc else 1)  # (k+1)-windows per row
     rows_budget = max(
         int(budget * kp // (2 * wpr * max(n_proc, 1))), n_local_shards
@@ -539,6 +547,7 @@ def build_sharded_dbg(
                 valid=u23 != SENTINEL, route_cap=attempt_cap,
                 n_live=nv23.astype(np.int64),
             )
+            graph.n_parts = n_parts  # observability (at-scale artifacts)
             return graph, 0
         break  # adjacency overflow is not fixed by re-counting
     return (
@@ -554,20 +563,166 @@ def build_sharded_dbg(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "n_passes"))
-def _sharded_chain_collapse(mesh: Mesh, out: jax.Array, valid: jax.Array,
-                            n_passes: int):
+def _routed_value_gather(values_local, gids, kp, T, cap, fill):
+    """Inside shard_map: gather ``values[g]`` for GLOBAL ids ``g`` whose
+    owner is ``g // T`` — route ids to owners, gather the owner's local
+    row, route back. The owner-routed replacement for replicating the
+    full ``[kp*T]`` value array with ``all_gather`` (VERDICT r4 #1):
+    wire cost is O(queries), not O(N·kp).
+
+    Returns (values aligned with ``gids`` — ``fill`` for ``gids < 0`` or
+    dropped queries; dropped count — queries overflowing a routing
+    bucket; callers retry with doubled ``cap``).
+    """
+    n = gids.shape[0]
+    owner = jnp.where(gids >= 0, gids // T, kp).astype(jnp.int32)
+    order = jnp.argsort(owner, stable=True)
+    g_sorted = gids[order]
+    owner_sorted = owner[order]
+    bounds = jnp.searchsorted(owner_sorted, jnp.arange(kp + 1, dtype=jnp.int32))
+    starts, ends = bounds[:kp], bounds[1:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (kp, cap), 1)
+    idx = starts[:, None] + col
+    live = idx < ends[:, None]
+    idx_c = jnp.minimum(idx, n - 1)
+    send = jnp.where(live, g_sorted[idx_c], -1)
+    dropped = jnp.sum(jnp.maximum(ends - starts - cap, 0)).astype(jnp.int32)
+    recv = jax.lax.all_to_all(send[None], "kp", 1, 1, tiled=False)[0].reshape(-1)
+    loc = jnp.where(recv >= 0, recv % T, 0)
+    vals = jnp.where(recv >= 0, values_local[loc], fill)
+    back = jax.lax.all_to_all(
+        vals.reshape(kp, cap)[None], "kp", 1, 1, tiled=False
+    )[0]
+    out_sorted = jnp.full((n,), fill, dtype=vals.dtype)
+    out_sorted = out_sorted.at[
+        jnp.where(live, idx_c, n).reshape(-1)
+    ].set(back.reshape(-1), mode="drop")
+    return jnp.full((n,), fill, dtype=vals.dtype).at[order].set(out_sorted), dropped
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
+def routed_gather(mesh: Mesh, values: jax.Array, gids: jax.Array,
+                  route_cap: int):
+    """Owner-routed gather of ``values[g // T, g % T]`` for a replicated
+    [Q] global-id array (-1 dead → zero of the value dtype). The
+    query-proportional replacement for a replicated-out_shardings gather
+    of a sharded table (which replicates the WHOLE table per call — the
+    node k-mer table alone is 8 GB at 1B nodes). With ``route_cap`` = Q
+    no bucket can overflow (dropped ≡ 0)."""
+    kp = mesh.shape["kp"]
+    T = values.shape[1]
+
+    def step(values_l, g):
+        values_l = values_l[0]
+        vals, _dropped = _routed_value_gather(
+            values_l, g, kp, T, route_cap,
+            fill=jnp.zeros((), values_l.dtype),
+        )
+        return vals
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, "kp"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(values.reshape(1, -1), gids)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
+def _tag_adjacency(mesh: Mesh, adj: jax.Array, valid: jax.Array, route_cap: int):
+    """One routed pass encoding TARGET validity into adjacency entries:
+    entry g pointing at an invalid node becomes ``-2 - g`` (recoverable);
+    valid targets stay ``g``; absent stays ``-1``."""
+    kp = mesh.shape["kp"]
+    T = valid.shape[1]
+
+    def step(adj_l, valid_l):
+        adj_l = adj_l[0]  # flat [4T] global ids
+        valid_l = valid_l[0]
+        ok, dropped = _routed_value_gather(
+            valid_l, adj_l, kp, T, route_cap, fill=False
+        )
+        tagged = jnp.where(
+            adj_l < 0, jnp.int32(-1), jnp.where(ok, adj_l, -2 - adj_l)
+        )
+        return tagged[None], jax.lax.psum(dropped, ("dp", "kp"))
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(None, "kp"), P(None, "kp")),
+        out_specs=(P(None, "kp"), P()),
+        check_vma=False,
+    )
+    tagged, dropped = fn(adj.reshape(1, -1), valid.reshape(1, -1))
+    return tagged.reshape(kp, 4 * T), dropped
+
+
+def tag_adjacency(mesh: Mesh, adj: jax.Array, valid: jax.Array) -> jax.Array:
+    """Validity-tagged adjacency (see ``_tag_adjacency``), with routing
+    capacity retries. ONE O(4N)-wire routed exchange per validity epoch;
+    afterwards every BFS/candidate consumer reads neighbor validity
+    LOCALLY from the tag — no per-call validity collective anywhere
+    (VERDICT r4 #1: frontier_step previously all-gathered the full
+    ``[kp*T]`` mask on every call). Per-owner load is structurally
+    bounded: a DBG node has ≤ 4 in-edges, so each target id appears ≤ 4
+    times in the global out-adjacency."""
+    from mcaat_tpu.utils import wire
+
+    kp, T = valid.shape
+    cap = _sbucket(2 * max(4 * T // kp, 1))
+    while True:
+        tagged, dropped = _tag_adjacency(mesh, adj, valid, cap)
+        wire.add("tag_adjacency", kp * kp * cap * (4 + 1 + 4))
+        if int(dropped) == 0 or cap >= 4 * T:
+            return tagged
+        cap = min(_sbucket(cap * 4), _sbucket(4 * T))
+
+
+def decode_tagged(adj) -> jax.Array:
+    """Recover raw global ids from a validity-tagged adjacency
+    (``-2-g`` → ``g``; ``-1`` stays absent)."""
+    return jnp.where(adj <= -2, -2 - adj, adj)
+
+
+def tagged_adjacency(sg: "ShardedDBG", valid):
+    """(out, in_) tagged with ``valid`` — cached on the graph object so
+    the cycle stage and the region condensation (same validity epoch)
+    share one tagging pass per array. Cache key is the ``valid`` array
+    OBJECT (a new epoch is always a new array)."""
+    cache = getattr(sg, "_tag_cache", None)
+    if cache is not None and cache[0] is valid:
+        return cache[1], cache[2]
+    outv = tag_adjacency(sg.mesh, sg.out, valid)
+    inv = tag_adjacency(sg.mesh, sg.in_, valid)
+    sg._tag_cache = (valid, outv, inv)
+    return outv, inv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_passes", "gather_cap")
+)
+def _sharded_chain_collapse(mesh: Mesh, outv: jax.Array, valid: jax.Array,
+                            n_passes: int, gather_cap: int):
     """Distributed unary-chain collapse by pointer doubling.
 
-    The O(N) per-node work (degrees, successor pick, doubling gathers)
-    runs sharded; each doubling pass replicates the (int32) pointer array
-    with one ``all_gather`` over kp — log2(N) collectives total instead
-    of one per clipped chain LEVEL (a single long linear chain made the
-    per-level loop issue hundreds of thousands of collectives inside one
-    program). At 1B+ nodes the replicated gather should become a routed
-    ``all_to_all`` exchange (frontier_step's shape); for current shard
-    counts the gather is the faster, simpler choice.
-    Returns (ntype [kp,T], ptr [kp,T] of GLOBAL ids).
+    ``outv`` is the valid-TAGGED adjacency (``tag_adjacency`` with the
+    same ``valid``), so successor admissibility is a local sign test —
+    no validity gather. Each doubling pass routes every node's pointer
+    target to its owner shard and gathers the owner's pointer
+    (``_routed_value_gather``): O(N) wire per pass instead of the
+    ``all_gather``'s O(N·kp) (VERDICT r4 #1). log2(N) passes total.
+
+    Bounded-scale path: at ≥ cycles.finder.LAZY_CLIP_MIN_NODES the
+    sharded pipeline defers tip clipping to the extracted candidate
+    neighborhood and never runs this (mirroring the single-device lazy
+    clip). Convergence can concentrate pointers onto few targets
+    (duplicate queries), so the routing capacity retries; the escalation
+    ceiling T equals the all_gather volume this replaced.
+
+    Returns (ntype [kp,T], ptr [kp,T] of GLOBAL ids, dropped).
     """
     from mcaat_tpu.prune.prune import _BRANCH, _DEAD, _UNARY
 
@@ -575,11 +730,10 @@ def _sharded_chain_collapse(mesh: Mesh, out: jax.Array, valid: jax.Array,
     T = valid.shape[1]
 
     def step(out_l, valid_l):
-        out_l = out_l[0]  # flat [4T], global neighbor ids
+        out_l = out_l[0]  # flat [4T], validity-tagged global neighbor ids
         valid_l = valid_l[0]
         my = jax.lax.axis_index("kp")
-        vall = jax.lax.all_gather(valid_l, "kp", tiled=True)  # [kp*T]
-        adj_ok = (out_l >= 0) & vall[jnp.maximum(out_l, 0)]
+        adj_ok = out_l >= 0  # tagged ⇒ target validity is the sign bit
         # strided flat slices, not reshape(T, 4) — see prune._chain_collapse
         deg = adj_ok[0::4].astype(jnp.int32)
         succ = jnp.where(adj_ok[0::4], out_l[0::4], -1)
@@ -592,22 +746,25 @@ def _sharded_chain_collapse(mesh: Mesh, out: jax.Array, valid: jax.Array,
         gids = my.astype(jnp.int32) * T + jnp.arange(T, dtype=jnp.int32)
         ptr = jnp.where(ntype == _UNARY, succ, gids)
 
-        def body(_, p):
-            pall = jax.lax.all_gather(p, "kp", tiled=True)
-            return pall[p]
+        def body(_, carry):
+            p, dropped = carry
+            newp, d = _routed_value_gather(p, p, kp, T, gather_cap, fill=-1)
+            return newp, dropped + d
 
-        ptr = jax.lax.fori_loop(0, n_passes, body, ptr)
-        return ntype[None], ptr[None]
+        ptr, dropped = jax.lax.fori_loop(
+            0, n_passes, body, (ptr, jnp.int32(0))
+        )
+        return ntype[None], ptr[None], jax.lax.psum(dropped, ("dp", "kp"))
 
     fn = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(None, "kp"), P(None, "kp")),
-        out_specs=(P(None, "kp"), P(None, "kp")),
+        out_specs=(P(None, "kp"), P(None, "kp"), P()),
         check_vma=False,
     )
-    nt, pt = fn(out.reshape(1, -1), valid.reshape(1, -1))
-    return nt.reshape(kp, T), pt.reshape(kp, T)
+    nt, pt, dropped = fn(outv.reshape(1, -1), valid.reshape(1, -1))
+    return nt.reshape(kp, T), pt.reshape(kp, T), dropped
 
 
 def sharded_prune_and_candidates(
@@ -636,9 +793,22 @@ def sharded_prune_and_candidates(
     kp = mesh.shape["kp"]
     T = mult.shape[1]
     N = kp * T
-    valid0 = valid & (mult > 1)
+    valid0 = _vmult_filter(valid, mult)
     n_passes = max(int(np.ceil(np.log2(max(N, 2)))) + 1, 1)
-    ntype, ptr = _sharded_chain_collapse(mesh, out, valid0, n_passes)
+    outv0 = tag_adjacency(mesh, out, valid0)
+    gather_cap = _sbucket(2 * max(T // kp, 1))
+    while True:
+        ntype, ptr, dropped = _sharded_chain_collapse(
+            mesh, outv0, valid0, n_passes, gather_cap
+        )
+        from mcaat_tpu.utils import wire
+
+        wire.add(
+            "chain_collapse", n_passes * kp * kp * gather_cap * (4 + 4 + 4)
+        )
+        if int(dropped) == 0 or gather_cap >= T:
+            break
+        gather_cap = min(_sbucket(gather_cap * 4), _sbucket(T))
 
     # all O(N) work stays on device: the flat [kp,T]/[kp,4T] layout equals
     # the single-device global-id layout (slot 4g+b), so the single-device
@@ -680,25 +850,103 @@ def sharded_prune_and_candidates(
     return v.reshape(kp, T), cand.reshape(kp, T)
 
 
+# ---------------------------------------------------------------------------
+# Per-shard two-stage start-node candidate scan (the at-scale path)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _vprecand(valid, mult, thr):
+    """Per-shard cheap-half compaction: candidate LOCAL ids first,
+    ascending (zero communication — vmap over the kp axis keeps each
+    shard's argsort on its owner device; the sharded twin of
+    cycles.start_nodes._precand_order)."""
+
+    def one(valid_l, mult_l):
+        pre = valid_l & (mult_l > thr)
+        return jnp.argsort(~pre, stable=True), jnp.sum(pre)
+
+    return jax.vmap(one)(valid, mult)
+
+
+@jax.jit
+def _vcand_refine(outv, inv, ids, gid_base):
+    """indeg ≥ 2 & no-self-loop for small per-shard local-id sets, read
+    entirely from the validity-TAGGED local adjacency rows (an in-entry
+    ≥ 0 IS a valid in-neighbor — the full-graph 4N random validity
+    gather this replaces cost 13.7s at 50M nodes single-device)."""
+
+    def one(outv_l, inv_l, ids_l, base_l):
+        slots = ids_l * 4
+        gids = base_l + ids_l
+        indeg = jnp.zeros(ids_l.shape, jnp.int32)
+        self_loop = jnp.zeros(ids_l.shape, bool)
+        for b in range(4):
+            indeg = indeg + (inv_l[slots + b] >= 0)
+            ob = outv_l[slots + b]
+            self_loop = self_loop | (jnp.where(ob <= -2, -2 - ob, ob) == gids)
+        return (indeg >= 2) & ~self_loop
+
+    return jax.vmap(one)(outv, inv, ids, gid_base)
+
+
+def sharded_candidate_ids(
+    sg: ShardedDBG, valid, outv, inv, threshold_multiplicity: int
+) -> np.ndarray:
+    """Start-node candidates (ascending GLOBAL ids) over the sharded
+    graph — ≙ CycleFinder::ChunkStartNodes' static predicate
+    (src/cycle_finder.cpp:398-411), evaluated per shard with zero O(N)
+    collectives and candidate-proportional downloads: stage 1 compacts
+    ``valid & mult > thr`` per shard (device argsort), stage 2 refines
+    the survivors' in/out slots against the validity TAGS."""
+    kp, T = sg.kmers.shape
+    order, counts = _vprecand(
+        valid, sg.mult, jnp.asarray(threshold_multiplicity, sg.mult.dtype)
+    )
+    counts_h = host_replicated(sg.mesh, counts)
+    c_max = int(counts_h.max())
+    if c_max == 0:
+        return np.empty(0, dtype=np.int64)
+    c_pad = min(_sbucket(c_max), T)
+    ids = order[:, :c_pad].astype(jnp.int32)
+    gid_base = (jnp.arange(kp, dtype=jnp.int32) * T)[:, None]
+    keep = _vcand_refine(outv, inv, ids, gid_base)
+    ids_h = host_replicated(sg.mesh, ids)
+    keep_h = host_replicated(sg.mesh, keep)
+    res = []
+    for s in range(kp):
+        c = int(counts_h[s])
+        sel = ids_h[s, :c][keep_h[s, :c]]
+        res.append(np.int64(s) * T + np.sort(sel).astype(np.int64))
+    return np.concatenate(res) if res else np.empty(0, dtype=np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "route_cap"))
 def frontier_step(
     mesh: Mesh,
-    kmers: jax.Array,  # [kp, T]
-    out: jax.Array,  # [kp, 4T] flat
-    valid: jax.Array,  # [kp, T]
+    out: jax.Array,  # [kp, 4T] flat adjacency, validity-TAGGED or raw
     frontier: jax.Array,  # int32 [Q] global ids (replicated), -1 dead
     route_cap: int = 1 << 14,
 ):
-    """One distributed BFS expansion: global ids -> all valid out-neighbors.
+    """One distributed BFS expansion: global ids -> all out-neighbor
+    entries, exactly as stored.
 
-    Returns int32 [Q, 4] of global neighbor ids (-1 masked).
+    With a ``tag_adjacency``-tagged adjacency the caller reads target
+    validity straight off each entry (``>= 0`` valid, ``<= -2`` is
+    ``-2 - gid`` of an invalid target, ``-1`` absent) — NO validity
+    collective runs here (the r4 version all-gathered the full
+    ``[kp*T]`` valid mask per call: ~1 GB broadcast per hop at 1B
+    nodes, VERDICT r4 #1). With the raw (untagged) adjacency this is an
+    unfiltered expansion. Wire cost: one Q-id route + one 4Q-entry
+    route back over kp.
+
+    Returns int32 [Q, 4] of adjacency entries (-1 for dead lanes).
     """
     kp = mesh.shape["kp"]
-    T = kmers.shape[1]
+    T = out.shape[1] // 4
 
-    def step(kmers_l, out_l, valid_l, frontier_l):
+    def step(out_l, frontier_l):
         out_l = out_l[0]  # flat [4T]
-        valid_l = valid_l[0]
         q = frontier_l
         n = q.shape[0]
         owner = jnp.where(q >= 0, q // T, kp).astype(jnp.int32)
@@ -717,10 +965,7 @@ def frontier_step(
         flat = recv.reshape(-1)
         loc = jnp.where(flat >= 0, flat % T, 0)
         nbrs = out_l[(loc * 4)[:, None] + jnp.arange(4, dtype=jnp.int32)]  # [kp*cap, 4]
-        nb_ok = (flat >= 0)[:, None] & (nbrs >= 0)
-        # validity of a GLOBAL neighbor id is owned elsewhere; the caller
-        # filters against its replicated valid view
-        res = jnp.where(nb_ok, nbrs, -1)
+        res = jnp.where((flat >= 0)[:, None], nbrs, -1)
         back = jax.lax.all_to_all(
             res.reshape(kp, route_cap, 4)[None], "kp", 1, 1, tiled=False
         )[0]
@@ -728,22 +973,16 @@ def frontier_step(
         out_sorted = out_sorted.at[
             jnp.where(live, idx_c, n).reshape(-1)
         ].set(back.reshape(-1, 4), mode="drop")
-        result = jnp.zeros((n, 4), jnp.int32).at[order].set(out_sorted)
-        # filter against the valid mask of the neighbor's owner shard:
-        # gather locally over the replicated [kp*T] valid view
-        valid_all = jax.lax.all_gather(valid_l, "kp", tiled=True)
-        r_ok = (result >= 0) & valid_all[jnp.maximum(result, 0)]
-        return jnp.where(r_ok, result, -1)
+        return jnp.full((n, 4), -1, jnp.int32).at[order].set(out_sorted)
 
     fn = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(None, "kp"), P(None, "kp"), P(None, "kp"), P()),
+        in_specs=(P(None, "kp"), P()),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(kmers.reshape(1, -1), out.reshape(1, -1), valid.reshape(1, -1),
-              frontier)
+    return fn(out.reshape(1, -1), frontier)
 
 
 def sharded_dbg_to_dbg(sg: ShardedDBG):

@@ -51,7 +51,9 @@ from mcaat_tpu.parallel.sharded_graph import (
     build_sharded_dbg,
     frontier_step,
     host_replicated,
+    sharded_candidate_ids,
     sharded_prune_and_candidates,
+    tagged_adjacency,
 )
 
 
@@ -60,26 +62,90 @@ from mcaat_tpu.parallel.sharded_graph import (
 # ---------------------------------------------------------------------------
 
 
+class HostBitset:
+    """Packed host bitmap: N/8 bytes instead of an N-byte bool array.
+
+    The visited/reached sets of the BFS wrappers were N-byte bools per
+    process — 1 GB each at the 1B-node target (VERDICT r4 #2); packed
+    they are 125 MB. Frontier-sized test/set batches only.
+    """
+
+    __slots__ = ("n", "bits")
+
+    def __init__(self, n: int):
+        self.n = int(n)
+        self.bits = np.zeros((self.n + 7) // 8, dtype=np.uint8)
+
+    def test(self, idx: np.ndarray) -> np.ndarray:
+        idx = np.asarray(idx, dtype=np.int64)
+        return (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1 != 0
+
+    def set(self, idx: np.ndarray) -> None:
+        idx = np.asarray(idx, dtype=np.int64)
+        np.bitwise_or.at(
+            self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8)
+        )
+
+    def to_indices(self) -> np.ndarray:
+        """Ascending set-bit indices (one transient O(N) unpack)."""
+        u = np.unpackbits(self.bits, bitorder="little")[: self.n]
+        return np.nonzero(u)[0]
+
+
+def _mask_indices(mask) -> np.ndarray:
+    if isinstance(mask, HostBitset):
+        return mask.to_indices()
+    return np.nonzero(np.asarray(mask).reshape(-1))[0]
+
+
+def _seed_validity(sg: ShardedDBG, valid, gids: np.ndarray) -> np.ndarray:
+    """Validity of a SMALL set of global ids — one seed-proportional
+    owner-routed gather, replacing the full host_replicated(valid)
+    download (N bools per call, VERDICT r4 #2)."""
+    from mcaat_tpu.parallel.sharded_graph import routed_gather
+    from mcaat_tpu.utils import wire
+
+    n = len(gids)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    pad = _bucket_size(n)
+    gb = np.full(pad, -1, dtype=np.int64)
+    gb[:n] = gids
+    res = np.asarray(
+        routed_gather(sg.mesh, valid, jnp.asarray(gb), route_cap=pad)
+    )[:n]
+    kp = sg.kmers.shape[0]
+    wire.add("seed_validity", kp * kp * pad * (8 + 1 + 1))
+    return res
+
+
+def _frontier_wire(kp: int, Q: int) -> int:
+    # one Q-id route (int32) + one [Q,4]-entry route back, per shard pair
+    return kp * kp * Q * (4 + 16)
+
+
 def sharded_touched_mask(
     sg: ShardedDBG,
-    valid,  # [kp, T] — current validity (post-prune)
+    valid,  # [kp, T] — the current validity epoch (for the seed check)
+    outv,  # [kp, 4T] — adjacency TAGGED with the same epoch
     seeds: np.ndarray,  # global ids
     radius: int,
-) -> np.ndarray:
-    """Union forward-reachable mask (bool [kp*T]) from ``seeds`` within
-    ``radius`` out-steps through valid nodes.
+) -> HostBitset:
+    """Union forward-reachable set from ``seeds`` within ``radius``
+    out-steps through valid nodes.
 
-    Each level is one ``frontier_step`` (route → gather → route back over
-    the kp axis); the visited set is a host bitmap, so per-level cost is
-    ∝ the frontier, not N.
+    Each level is one ``frontier_step`` over the validity-tagged
+    adjacency (route → gather → route back over kp); neighbor validity
+    is the entry's sign — no validity collective, no O(N) download
+    anywhere (VERDICT r4 #1/#2). Per-level wire ∝ the frontier, not N.
     """
+    from mcaat_tpu.utils import wire
+
     kp, T = sg.kmers.shape
-    N = kp * T
-    valid_h = host_replicated(sg.mesh, valid).reshape(-1)
-    visited = np.zeros(N, dtype=bool)
+    visited = HostBitset(kp * T)
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
-    seeds = seeds[valid_h[seeds]]
-    visited[seeds] = True
+    seeds = seeds[_seed_validity(sg, valid, seeds)]
+    visited.set(seeds)
     frontier = seeds.astype(np.int32)
     for _ in range(radius):
         if len(frontier) == 0:
@@ -88,44 +154,40 @@ def sharded_touched_mask(
         fr = np.full(Q, -1, dtype=np.int32)
         fr[: len(frontier)] = frontier
         nbrs = np.asarray(
-            frontier_step(
-                sg.mesh, sg.kmers, sg.out, valid, jnp.asarray(fr), route_cap=Q
-            )
+            frontier_step(sg.mesh, outv, jnp.asarray(fr), route_cap=Q)
         )
-        new = np.unique(nbrs[nbrs >= 0])
-        new = new[~visited[new]]
-        visited[new] = True
+        wire.add("touched_mask", _frontier_wire(kp, Q))
+        new = np.unique(nbrs[nbrs >= 0])  # tagged (≤ -2) = invalid target
+        new = new[~visited.test(new)]
+        visited.set(new)
         frontier = new.astype(np.int32)
     return visited
 
 
 def sharded_region_mask(
     sg: ShardedDBG,
-    valid,  # [kp, T]
+    valid,  # [kp, T] — the current validity epoch (for the seed check)
+    outv,  # [kp, 4T] out-adjacency TAGGED with the same epoch
+    inv,  # [kp, 4T] in-adjacency TAGGED with the same epoch
     seeds: np.ndarray,
     hops: int,
-) -> np.ndarray:
+) -> HostBitset:
     """Undirected ``hops``-hop expansion of ``seeds``: invalid neighbors
     join the reached set but only valid nodes expand (≙ the reference's
     keep_crispr_regions_extended_by_k, src/spacer_ordering.cpp:96-129).
+
+    The validity TAGS carry both facts per returned entry — the raw
+    neighbor id (decoded from ``-2-gid``) joins the reached set, and
+    only untagged (valid-target) entries expand — so the hop loop runs
+    with zero validity collectives and zero O(N) downloads.
     """
-    import jax as _jax
+    from mcaat_tpu.utils import wire
 
     kp, T = sg.kmers.shape
-    N = kp * T
-    valid_h = host_replicated(sg.mesh, valid).reshape(-1)
-    # raw neighbors — no target filter. numpy in multi-process: a device
-    # array from a local computation is committed and rejected by the
-    # mesh-spanning program
-    ones = (
-        jnp.ones((kp, T), dtype=bool)
-        if _jax.process_count() == 1
-        else np.ones((kp, T), dtype=bool)
-    )
-    reached = np.zeros(N, dtype=bool)
+    reached = HostBitset(kp * T)
     seeds = np.unique(np.asarray(seeds, dtype=np.int64))
-    reached[seeds] = True
-    frontier = seeds[valid_h[seeds]].astype(np.int32)
+    reached.set(seeds)
+    frontier = seeds[_seed_validity(sg, valid, seeds)].astype(np.int32)
     for _ in range(hops):
         if len(frontier) == 0:
             break
@@ -133,17 +195,18 @@ def sharded_region_mask(
         fr = np.full(Q, -1, dtype=np.int32)
         fr[: len(frontier)] = frontier
         frj = jnp.asarray(fr)
-        out_n = np.asarray(
-            frontier_step(sg.mesh, sg.kmers, sg.out, ones, frj, route_cap=Q)
-        )
-        in_n = np.asarray(
-            frontier_step(sg.mesh, sg.kmers, sg.in_, ones, frj, route_cap=Q)
-        )
+        out_n = np.asarray(frontier_step(sg.mesh, outv, frj, route_cap=Q))
+        in_n = np.asarray(frontier_step(sg.mesh, inv, frj, route_cap=Q))
+        wire.add("region_mask", 2 * _frontier_wire(kp, Q))
         nbrs = np.concatenate([out_n.reshape(-1), in_n.reshape(-1)])
-        new = np.unique(nbrs[nbrs >= 0])
-        new = new[~reached[new]]
-        reached[new] = True
-        frontier = new[valid_h[new]].astype(np.int32)
+        nbrs = nbrs[nbrs != -1]
+        gid = np.where(nbrs <= -2, -2 - nbrs, nbrs)  # decode the tag
+        uniq, first = np.unique(gid, return_index=True)
+        uval = nbrs[first] >= 0  # tag ⇒ target validity, same for every copy
+        fresh = ~reached.test(uniq)
+        new = uniq[fresh]
+        reached.set(new)
+        frontier = new[uval[fresh]].astype(np.int32)
     return reached
 
 
@@ -153,17 +216,18 @@ def sharded_region_mask(
 
 
 def extract_sharded_subgraph(
-    sg: ShardedDBG, valid, mask: np.ndarray
+    sg: ShardedDBG, valid, mask
 ) -> tuple[DBG, np.ndarray]:
     """Compact the masked global rows into a single-device DBG + id map.
 
-    Adjacency entries leaving the mask become -1. ``gids`` is ascending,
-    so compact-id order == global-id order == k-mer rank order — all
+    ``mask`` is a HostBitset or bool array over global rows. Adjacency
+    entries leaving the mask become -1. ``gids`` is ascending, so
+    compact-id order == global-id order == k-mer rank order — all
     downstream deterministic orderings are preserved.
     """
     from mcaat_tpu.cycles.neighborhood import _gather_rows, remap_to_local
 
-    gids = np.nonzero(mask)[0].astype(np.int64)
+    gids = _mask_indices(mask).astype(np.int64)
     if len(gids) == 0:
         empty = DBG(
             k=sg.k,
@@ -204,31 +268,69 @@ def sharded_find_cycles(
     verbose: bool = True,
 ):
     """Distributed prune + candidate scan + neighborhood-compacted host
-    enumeration. Returns (valid [kp,T] post-prune, {global start: cycles}).
+    enumeration. Returns (valid [kp,T], {global start: cycles}).
 
     ≙ CycleFinder::FindApproximateCRISPRArrays
     (src/cycle_finder.cpp:433-492) with the whole-graph passes sharded.
+
+    At ≥ ``cycles.finder.LAZY_CLIP_MIN_NODES`` live nodes the tip clip
+    is DEFERRED to the extracted candidate neighborhood, mirroring the
+    single-device lazy path (same threshold ⇒ identical results; the
+    output-preservation proof is at that constant). This is the at-scale
+    path: it runs NO chain collapse, no branch fixpoint, and no O(N)
+    host work — every whole-graph touch is the mult filter, one
+    adjacency tagging pass per array, the per-shard candidate
+    compaction, and frontier-proportional BFS routing. Returned
+    ``valid`` then carries the mult filter only, and the region
+    condensation completes the clip on the condensed region
+    (``condense_region``; ≙ pipeline.spacer_ordering_step's lazy-clip
+    completion). Below the threshold the full distributed prune runs
+    (``sharded_prune_and_candidates``) exactly like the single-device
+    ``prune_graph``.
     """
+    from mcaat_tpu.cycles import finder as _finder
     from mcaat_tpu.cycles.finder import enumerate_on_arrays
     from mcaat_tpu.cycles.start_nodes import bucket_start_nodes, self_reachable_batch
+    from mcaat_tpu.parallel.sharded_graph import _vmult_filter
+    from mcaat_tpu.prune.prune import clip_tips
 
-    valid, cand = sharded_prune_and_candidates(
-        sg.mesh, sg.mult, sg.out, sg.in_, sg.valid,
-        threshold_multiplicity=threshold_multiplicity,
-    )
-    cand_ids = np.nonzero(host_replicated(sg.mesh, cand).reshape(-1))[0]
+    lazy = sg.n_nodes >= _finder.LAZY_CLIP_MIN_NODES
+    if lazy:
+        valid = _vmult_filter(sg.valid, sg.mult)
+        if verbose:
+            print(
+                f"Graph size: {sg.n_nodes} nodes; "
+                f"tip clipping deferred to the candidate neighborhood"
+            )
+        outv, inv = tagged_adjacency(sg, valid)
+        cand_ids = sharded_candidate_ids(
+            sg, valid, outv, inv, threshold_multiplicity
+        )
+    else:
+        valid, cand = sharded_prune_and_candidates(
+            sg.mesh, sg.mult, sg.out, sg.in_, sg.valid,
+            threshold_multiplicity=threshold_multiplicity,
+        )
+        cand_ids = np.nonzero(host_replicated(sg.mesh, cand).reshape(-1))[0]
+        outv, _inv = tagged_adjacency(sg, valid)
     if verbose:
         print(f"ChunkStartNodes: {len(cand_ids)} candidates pass the static filter")
     if len(cand_ids) == 0:
         return valid, {}
 
-    mask = sharded_touched_mask(sg, valid, cand_ids, cycle_max_length)
+    mask = sharded_touched_mask(sg, valid, outv, cand_ids, cycle_max_length)
     sub, gids = extract_sharded_subgraph(sg, valid, mask)
     if verbose:
         print(
             f"Neighborhood extraction: {len(gids)} nodes touched by "
             f"{len(cand_ids)} candidates (graph capacity {sg.kmers.size})"
         )
+    if lazy:
+        # deferred tip clip at neighborhood scale (output-preserving —
+        # cycles/finder.LAZY_CLIP_MIN_NODES)
+        sub, n_clipped = clip_tips(sub)
+        if verbose:
+            print(f"Neighborhood tip clip: {n_clipped} node(s) clipped")
     loc_cand = np.searchsorted(gids, cand_ids).astype(np.int32)
     reach = self_reachable_batch(sub, loc_cand, cycle_max_length)
     kept_loc = loc_cand[reach]
@@ -274,6 +376,16 @@ class MapSource:
             batch.codes, batch.lengths, k
         )
         self.order_key = np.asarray(order_key, dtype=np.int64)
+
+    def release(self) -> None:
+        """Drop the parsed code matrix + endpoint stash — the mapper is
+        the last consumer of read content (r5 host-memory cut: O(local
+        reads × max_len) bytes per process freed before the ordering
+        stages, VERDICT r4 #2)."""
+        self.batch = None
+        self.first_km = None
+        self.last_km = None
+        self.order_key = None
 
 
 _FILE_KEY = np.int64(1) << np.int64(44)  # order keys: file-major
@@ -321,18 +433,20 @@ def sources_from_batches(sg: ShardedDBG, batches_by_path: dict,
     return sources
 
 
-def _exchange_chains(chains: list[list[int]], keys: list[int]):
+def _exchange_chains(chains, keys: np.ndarray):
     """Multi-process: allgather every process's (local-record) chains and
     merge them into the global file order. Chains are CRISPR-anchored
-    kept reads (~3% keep rate), so the exchanged volume is tiny."""
+    kept reads (~3% keep rate), so the exchanged volume is tiny. The
+    flat ``Chains`` layout IS the wire format — no per-read Python
+    shredding on either side (VERDICT r4 #4)."""
     import jax
     from jax.experimental import multihost_utils
 
+    from mcaat_tpu.reads.chains import Chains
+
     n_proc = jax.process_count()
-    flat = np.concatenate(
-        [np.asarray(c, dtype=np.int64) for c in chains]
-    ) if chains else np.zeros(0, dtype=np.int64)
-    lens = np.asarray([len(c) for c in chains], dtype=np.int64)
+    chains = Chains.from_lists(chains)
+    lens = chains.lengths()
     keys_a = np.asarray(keys, dtype=np.int64)
 
     def gather_ragged(arr):
@@ -345,19 +459,18 @@ def _exchange_chains(chains: list[list[int]], keys: list[int]):
         data = multihost_utils.process_allgather(pad).reshape(n_proc, m)
         return [data[p, : int(sizes[p])] for p in range(n_proc)]
 
-    flats = gather_ragged(flat)
+    flats = gather_ragged(chains.flat)
     lenss = gather_ragged(lens)
     keyss = gather_ragged(keys_a)
-    all_chains: list[list[int]] = []
-    all_keys: list[int] = []
-    for p in range(n_proc):
-        off = 0
-        for ln, ky in zip(lenss[p], keyss[p]):
-            all_chains.append(flats[p][off : off + int(ln)].tolist())
-            all_keys.append(int(ky))
-            off += int(ln)
-    order = np.argsort(np.asarray(all_keys, dtype=np.int64), kind="stable")
-    return [all_chains[i] for i in order]
+    all_lens = np.concatenate(lenss) if lenss else np.zeros(0, np.int64)
+    offsets = np.zeros(len(all_lens) + 1, dtype=np.int64)
+    np.cumsum(all_lens, out=offsets[1:])
+    merged = Chains(
+        np.concatenate(flats) if flats else np.zeros(0, np.int64), offsets
+    )
+    all_keys = np.concatenate(keyss) if keyss else np.zeros(0, np.int64)
+    order = np.argsort(all_keys, kind="stable")
+    return merged.select(order)
 
 
 def sharded_get_reads(
@@ -383,20 +496,25 @@ def sharded_get_reads(
     """
     import jax
 
+    from mcaat_tpu.reads.chains import Chains
+
     if sources is None:
         sources = default_map_sources(sg, fastq_file_1, fastq_file_2)
     cycle_nodes = sorted({int(n) for cyc in cycles for n in cyc})
     cyc_kms = _cycle_kmers_for_gids(sg, cycle_nodes)
-    chains: list[list[int]] = []
-    keys: list[int] = []
+    parts: list[Chains] = []
+    keys_parts: list[np.ndarray] = []
     for src in sources:
         c, ky = _map_batch_sharded(sg, src, cyc_kms, chunk_reads)
-        chains.extend(c)
-        keys.extend(ky)
+        parts.append(c)
+        keys_parts.append(ky)
+    chains = Chains.concat(parts)
+    keys = (
+        np.concatenate(keys_parts) if keys_parts else np.zeros(0, np.int64)
+    )
     if jax.process_count() > 1:
         return _exchange_chains(chains, keys)
-    order = np.argsort(np.asarray(keys, dtype=np.int64), kind="stable")
-    return [chains[i] for i in order]
+    return chains.select(np.argsort(keys, kind="stable"))
 
 
 def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
@@ -439,38 +557,27 @@ def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
     return np.where(idx >= 0, owner * T + idx, -1).astype(np.int64)
 
 
-@functools.lru_cache(maxsize=None)
-def _gid_kmer_gather(mesh):
-    """Cached replicated-output gather (a per-call jit(lambda) would
-    retrace — and remote-recompile — on every pipeline run). Keyed on the
-    Mesh object: pipeline processes build ONE mesh for their lifetime, so
-    the pinned entry count is 1 (ADVICE r4 — revisit if meshes ever churn
-    per run)."""
-    import jax as _jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    return _jax.jit(
-        lambda K, g: K[g // K.shape[1], g % K.shape[1]],
-        out_shardings=NamedSharding(mesh, P()),
-    )
-
-
 def _cycle_kmers_for_gids(sg: ShardedDBG, cycle_nodes) -> np.ndarray:
     """K-mers of the cycle nodes (global ids) from the sharded table —
-    one tiny replicated-output gather program (bucket-padded ids for
-    shape reuse); every process computes the identical array. Lets the
-    keep decision run as host np.isin against the stashed endpoint
-    k-mers: ZERO routed lookups in mapping phase 1 (k-mer membership in
-    the cycle set ⟺ node-id membership, since node k-mers are unique)."""
+    one tiny owner-routed gather program (bucket-padded ids for shape
+    reuse; the r4 replicated-out_shardings gather implicitly replicated
+    the whole k-mer table per call — 8 GB of wire at 1B nodes); every
+    process computes the identical array. Lets the keep decision run as
+    host np.isin against the stashed endpoint k-mers: ZERO routed
+    lookups in mapping phase 1 (k-mer membership in the cycle set ⟺
+    node-id membership, since node k-mers are unique)."""
+    from mcaat_tpu.parallel.sharded_graph import routed_gather
+
     gids = np.asarray(sorted(int(g) for g in cycle_nodes), dtype=np.int64)
     n = len(gids)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     pad = _bucket_size(n)
-    gids_b = np.zeros(pad, dtype=np.int64)
+    gids_b = np.full(pad, -1, dtype=np.int64)
     gids_b[:n] = gids
-    fn = _gid_kmer_gather(sg.mesh)
-    return np.asarray(fn(sg.kmers, jnp.asarray(gids_b)))[:n]
+    return np.asarray(
+        routed_gather(sg.mesh, sg.kmers, jnp.asarray(gids_b), route_cap=pad)
+    )[:n]
 
 
 def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cyc_kms: np.ndarray,
@@ -483,16 +590,18 @@ def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cyc_kms: np.ndarray,
     previously 2 routed lookups/read). The full code matrix uploads
     only for the kept reads (~3% on CRISPR-bearing data)."""
     from mcaat_tpu.kmer.count import extract_kmers, upload_codes
+    from mcaat_tpu.reads.chains import Chains
 
     full_batch = src.batch
+    empty = (Chains.empty(), np.zeros(0, np.int64))
     if full_batch.num_reads == 0:
-        return [], []
+        return empty
     k = sg.k
     L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
     if L_pad < k:
-        return [], []
-    chains: list[list[int]] = []
-    keys: list[int] = []
+        return empty
+    parts: list[Chains] = []
+    keys_parts: list[np.ndarray] = []
     for lo in range(0, full_batch.num_reads, chunk_reads):
         l_np = full_batch.lengths[lo : lo + chunk_reads]
         R = len(l_np)
@@ -523,10 +632,10 @@ def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cyc_kms: np.ndarray,
         W = kmers.shape[1]
         ids = _sharded_lookup_ids(sg, kmers.reshape(-1)).reshape(g_pad, W)
         n_windows = np.maximum(lengths_k[:n_kept] - k + 1, 0).astype(np.int32)
-        chains.extend(
-            ids[r, : int(n_windows[r])].tolist() for r in range(n_kept)
-        )
-        keys.extend(src.order_key[lo + kept_idx].tolist())
+        parts.append(Chains.from_dense(ids[:n_kept], n_windows))
+        keys_parts.append(src.order_key[lo + kept_idx])
+    chains = Chains.concat(parts)
+    keys = np.concatenate(keys_parts) if keys_parts else np.zeros(0, np.int64)
     return chains, keys
 
 
@@ -548,14 +657,27 @@ def condense_region(
     reads_compact). Out-of-region read ids map to unique negative
     surrogates (see module docstring; shared remap in
     cycles/neighborhood.remap_chains).
+
+    When the cycle stage ran lazy (``valid`` carries the mult filter
+    only — graphs ≥ cycles.finder.LAZY_CLIP_MIN_NODES), the deferred
+    tip clip completes HERE on the condensed region, exactly like
+    pipeline.spacer_ordering_step's region condensation (the
+    output-preservation proof lives there, pipeline.py "lazy-clip
+    completion"); clip_tips is idempotent, so clipping is safe in
+    either epoch.
     """
+    from mcaat_tpu.cycles import finder as _finder
     from mcaat_tpu.cycles.neighborhood import remap_chains
+    from mcaat_tpu.prune.prune import clip_tips
 
     seeds = np.asarray(
         sorted({int(n) for cyc in cycles for n in cyc}), dtype=np.int64
     )
-    reached = sharded_region_mask(sg, valid, seeds, read_chain_len)
+    outv, inv = tagged_adjacency(sg, valid)
+    reached = sharded_region_mask(sg, valid, outv, inv, seeds, read_chain_len)
     region, gids = extract_sharded_subgraph(sg, valid, reached)
+    if sg.n_nodes >= _finder.LAZY_CLIP_MIN_NODES:
+        region, _ = clip_tips(region)
     # ≙ with_valid(valid & reached): everything outside the region is
     # invalid — inside the compact graph that is every remaining row
     cycles_c, reads_c = remap_chains(gids, cycles, reads)
@@ -676,6 +798,9 @@ def run_sharded_downstream(
 
                 multihost_utils.sync_global_devices("mcaat_ckpt_reads")
     prof.count("read_mapping", reads=len(reads))
+    if map_sources:
+        for src in map_sources:
+            src.release()
     result.reads = reads
     if verbose:
         print(f"    ▸ Found {len(reads)} reads")

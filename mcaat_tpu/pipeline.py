@@ -209,8 +209,14 @@ def spacer_ordering_step(
     cycles: list[list[int]],
     verbose: bool = True,
     condense_min_nodes: int | None = None,
+    region_mask: np.ndarray | None = None,
 ) -> tuple[DBG, list[FoundSystem]]:
-    """STEP 7 (≙ run_and_debug_spacer_ordering, main_run_and_debug.cpp:32-140)."""
+    """STEP 7 (≙ run_and_debug_spacer_ordering, main_run_and_debug.cpp:32-140).
+
+    ``region_mask``: a precomputed ``undirected_region_mask(graph,
+    cycle seeds, len(reads[0]))`` — the region-first mapper (VERDICT r4
+    #5) grows it before the chain lookup and hands it back here so the
+    condense path skips the second growth."""
     from mcaat_tpu.cycles import finder as _finder
 
     if condense_min_nodes is None:
@@ -232,7 +238,12 @@ def spacer_ordering_step(
 
         seeds = np.asarray(sorted({n for c in cycles for n in c}), dtype=np.int64)
         _tick("cycle-node seed set")
-        mask = undirected_region_mask(graph, seeds, read_chain_len, verbose=verbose)
+        if region_mask is not None:
+            mask = region_mask
+        else:
+            mask = undirected_region_mask(
+                graph, seeds, read_chain_len, verbose=verbose
+            )
         _tick("region mask growth")
         graph, gids = extract_region_graph(graph, mask)
         _tick("region extract")
@@ -680,6 +691,10 @@ def _run_pipeline_sharded(
         for path, b in input_batches:
             batches_by_path.setdefault(path, b)
         map_sources = sources_from_batches(sg, batches_by_path, f1, f2)
+        # the MapSources hold the only references the mapper needs; drop
+        # the frame-level ones so MapSource.release() frees the parsed
+        # code matrices after mapping (VERDICT r4 #2)
+        del input_batches, batches_by_path, codes, lengths, b
     else:
         map_sources = None
     result = run_sharded_downstream(
@@ -782,6 +797,34 @@ def run_pipeline(
         print(f"Number of nodes in results: {len(cycles_map)}")
         print("🔸STEP 6: Finding relevant reads")
 
+    # region-first mapping (VERDICT r4 #5): at condense scale the cycle
+    # REGION (the read_len-hop expansion the ordering stage needs anyway)
+    # is grown BEFORE the chain lookup, and the kept chains join against
+    # its ~1e5-row node table instead of the full one (a 10x smaller
+    # sort-join at the 796M-window shape). The mask is reused by STEP 7.
+    region_state: dict = {}
+
+    def _region_provider(read_chain_len: int):
+        import jax.numpy as jnp
+
+        from mcaat_tpu.cycles.neighborhood import undirected_region_mask
+
+        seeds = np.asarray(
+            sorted({n for c in result.cycles for n in c}), dtype=np.int64
+        )
+        mask = undirected_region_mask(
+            graph, seeds, read_chain_len, verbose=verbose
+        )
+        region_state["mask"] = mask
+        region_state["read_chain_len"] = read_chain_len
+        gids = np.nonzero(mask)[0]
+        if len(gids) == 0:
+            return None
+        # gids ascending + kmers sorted ⇒ the gathered table is sorted
+        return graph.kmers[jnp.asarray(gids)], jnp.asarray(gids)
+
+    use_region_join = graph.size >= _condense_threshold()
+
     if checkpoint_dir and os.path.exists(_ck("reads.json")):
         reads = ckpt.load_reads(_ck("reads.json"))
         if verbose:
@@ -799,6 +842,7 @@ def run_pipeline(
             reads = get_reads(
                 graph, f1, f2, result.cycles, verbose=verbose,
                 batches=batches_by_path, endpoints=input_endpoints or None,
+                region_provider=_region_provider if use_region_join else None,
             )
         prof.count("read_mapping", reads=len(reads))
         if checkpoint_dir:
@@ -808,9 +852,12 @@ def run_pipeline(
         print(f"    ▸ Found {len(reads)} reads")
         print("🔸STEP 7: Order the spacers")
 
+    region_mask = None
+    if reads and region_state.get("read_chain_len") == len(reads[0]):
+        region_mask = region_state.get("mask")
     with prof.stage("spacer_ordering"):
         graph, found_systems = spacer_ordering_step(
-            graph, reads, result.cycles, verbose
+            graph, reads, result.cycles, verbose, region_mask=region_mask
         )
     prof.count("spacer_ordering", systems=len(found_systems))
     result.graph = graph

@@ -51,16 +51,17 @@ def chains_from_ids(
     lengths: np.ndarray,
     k: int,
     cycle_nodes: set[int],
-) -> list[list[int]]:
+):
     """Filter + materialize node chains (≙ get_read_from_sequence).
 
     The keep predicate (first-or-last window node in the cycle set,
     src/reads.cpp:74-76) is evaluated vectorized over all reads; only the
-    (rare) kept reads are materialized as Python lists.
-    """
+    (rare) kept reads materialize, flat (``Chains``)."""
+    from mcaat_tpu.reads.chains import Chains
+
     R = ids.shape[0]
     if R == 0 or ids.shape[1] == 0:
-        return []
+        return Chains.empty()
     lengths = np.asarray(lengths)
     n_windows = np.asarray(n_windows)
     firsts = ids[:, 0]
@@ -69,9 +70,8 @@ def chains_from_ids(
     cyc.sort()
     eligible = (lengths > 2 * k) & (n_windows > 0)
     keep = eligible & (np.isin(firsts, cyc) | np.isin(lasts, cyc))
-    return [
-        ids[r, : int(n_windows[r])].tolist() for r in np.nonzero(keep)[0]
-    ]
+    kept = np.nonzero(keep)[0]
+    return Chains.from_dense(ids[kept], n_windows[kept])
 
 
 def get_reads(
@@ -82,7 +82,8 @@ def get_reads(
     verbose: bool = False,
     batches: Optional[dict] = None,
     endpoints: Optional[dict] = None,
-) -> list[list[int]]:
+    region_provider=None,
+):
     """≙ reference ``get_reads`` (src/reads.cpp:91-130).
 
     Parses straight into the padded 2-bit code matrix (native C++ parser
@@ -96,6 +97,26 @@ def get_reads(
     stashed by the build) lets the keep decision run with no code
     re-upload; the mate-2 endpoints are the bit-math RC of the raw ones
     swapped: first(RC(r)) == revcomp(last(r)).
+
+    ``region_provider`` (the production big-graph path, VERDICT r4 #5):
+    a callable ``read_chain_len -> (table_kmers, table_ids) | None``.
+    When given, it is called once with the first kept read's window
+    count (== the region-growth hop count the ordering stage uses,
+    src/spacer_ordering.cpp:78) and the kept chains join against that
+    SMALL sorted table — the cycle REGION's node table — instead of the
+    full node table (a ~150k-row join instead of 134M rows at the
+    796M-window shape). Windows outside the table map to -1 (the same
+    value as a graph miss). This is ordering-output-identical: chain
+    entries are consumed ONLY via (a) membership tests against cycle /
+    SCC-subgraph / region node sets, all subsets of the region
+    (ordering.py get_relevant_reads/filter_subproblems,
+    neighborhood.remap_chains), and (b) adjacent-equality AFTER the
+    node→cycle-index mapping, where every out-of-map entry collapses to
+    NOT_IN_ANY_CYCLE_INDEX regardless of its id
+    (ordering.py:516-531, fast.py merged transitions) — so the identity
+    of an out-of-region id is unobservable. The reference stores the
+    global rank for such windows (src/reads.cpp:74-89); ``reads``
+    content differs there, reports do not (golden + parity tests).
     """
     from mcaat_tpu.io.fastq import read_encoded_batch, reverse_complement_batch
     from mcaat_tpu.kmer.count import revcomp_kmers
@@ -122,25 +143,97 @@ def get_reads(
             )
         return first_km, last_km
 
-    chains: list[list[int]] = []
+    from mcaat_tpu.reads.chains import Chains
+
+    cyc_km_j = _bucketed_cycle_kmer_table(graph, cycle_nodes)
+    plan = []
     b1 = _batch(fastq_file_1)
     _tick(f"parse ({b1.num_reads} reads)")
-    chains.extend(
-        _map_batch(graph, b1, cycle_nodes, endpoints=_eps(fastq_file_1, False),
-                   verbose=verbose)
+    plan.append(
+        (b1, _phase1_kept(graph, b1, cyc_km_j, _eps(fastq_file_1, False)))
     )
-    _tick("map")
+    _tick(f"keep decision ({len(plan[0][1])} kept)")
     if fastq_file_2:
         b2 = reverse_complement_batch(_batch(fastq_file_2))
-        _tick(f"parse mate-2")
-        chains.extend(
-            _map_batch(
-                graph, b2, cycle_nodes, endpoints=_eps(fastq_file_2, True),
-                verbose=verbose,
+        _tick("parse mate-2")
+        plan.append(
+            (b2, _phase1_kept(graph, b2, cyc_km_j, _eps(fastq_file_2, True)))
+        )
+        _tick(f"keep decision mate-2 ({len(plan[1][1])} kept)")
+
+    table = None
+    if region_provider is not None:
+        # the region hop count is the FIRST kept read's window count —
+        # exactly the len(reads[0]) the ordering stage would use
+        for b, kept in plan:
+            if len(kept):
+                rcl = int(b.lengths[kept[0]]) - graph.k + 1
+                table = region_provider(rcl)
+                break
+        _tick("region table")
+
+    parts: list[Chains] = []
+    for b, kept in plan:
+        L_pad = max((b.max_len + 31) // 32 * 32, 32)
+        parts.append(
+            _chains_for_kept(
+                graph, b.codes, b.lengths, kept, L_pad, 1 << 20,
+                tick=_tick if verbose else None, table=table,
             )
         )
-        _tick("map mate-2")
-    return chains
+    _tick("map")
+    return Chains.concat(parts)
+
+
+def _phase1_kept(graph: DBG, batch: ReadBatch, cyc_km_j, endpoints) -> np.ndarray:
+    """Phase 1 alone: kept-read indices of one batch (endpoint keep
+    predicate; see ``_map_batch`` for the endpoint-stash fast path)."""
+    from mcaat_tpu.graph.dbg import _bucket_size
+    from mcaat_tpu.kmer.count import upload_codes
+
+    R_total = batch.num_reads
+    if R_total == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(np.asarray(batch.lengths).max(initial=0)) < graph.k:
+        return np.zeros(0, dtype=np.int64)
+    if endpoints is not None:
+        from mcaat_tpu.kmer.count import SENTINEL
+
+        first_km, last_km = endpoints
+        R_dev = int(first_km.shape[0])
+        R_pad = _bucket_size(max(R_dev, 1))
+        if R_pad > R_dev:
+            pad = jnp.full((R_pad - R_dev,), SENTINEL, first_km.dtype)
+            first_km = jnp.concatenate([first_km, pad])
+            last_km = jnp.concatenate([last_km, pad])
+        lengths_full = np.zeros(R_pad, dtype=np.int32)
+        lengths_full[:R_total] = batch.lengths
+        keep_d = _keep_from_endpoints(
+            cyc_km_j, first_km, last_km, jnp.asarray(lengths_full), graph.k
+        )
+        return np.nonzero(np.asarray(keep_d)[:R_total])[0]
+
+    L_pad = max((batch.max_len + 31) // 32 * 32, 32)
+    kept_parts = []
+    chunk_reads = 1 << 20
+    for lo in range(0, R_total, chunk_reads):
+        c_np = batch.codes[lo : lo + chunk_reads]
+        l_np = batch.lengths[lo : lo + chunk_reads]
+        R = c_np.shape[0]
+        R_pad = _bucket_size(R)
+        codes = np.zeros((R_pad, L_pad), dtype=np.uint8)
+        codes[:R, : c_np.shape[1]] = c_np
+        lengths = np.zeros((R_pad,), dtype=np.int32)
+        lengths[:R] = l_np
+        if int(l_np.max(initial=0)) < graph.k:
+            continue
+        keep_d = _endpoint_keep_mask(
+            cyc_km_j, upload_codes(codes), jnp.asarray(lengths), graph.k
+        )
+        kept_parts.append(lo + np.nonzero(np.asarray(keep_d[:R]))[0])
+    if not kept_parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(kept_parts)
 
 
 def _isin_sorted(x, table_sorted):
@@ -188,7 +281,9 @@ def _map_sequences(
 ) -> list[list[int]]:
     """String-list convenience wrapper around :func:`_map_batch`."""
     if not sequences:
-        return []
+        from mcaat_tpu.reads.chains import Chains
+
+        return Chains.empty()
     return _map_batch(
         graph, encode_sequences(sequences), cycle_nodes, chunk_reads
     )
@@ -217,14 +312,21 @@ def _chains_for_kept(
     L_pad: int,
     chunk_reads: int,
     tick=None,
-) -> list[list[int]]:
+    table=None,
+):
     """Phase 2: full window chains for the (rare) kept reads only; the
     kept count is bucketed so the extract+lookup hit a handful of
-    compiled shapes instead of one per kept count."""
+    compiled shapes instead of one per kept count. Chains materialize
+    FLAT (``Chains.from_dense`` — one vectorized compress of the dense
+    id matrix instead of one ``.tolist()`` per read, VERDICT r4 #4).
+    With ``table`` (a sorted ``(kmers, ids)`` pair, e.g. the cycle
+    region's node table) the window lookup joins against it instead of
+    the full node table — see ``get_reads(region_provider=...)``."""
     from mcaat_tpu.graph.dbg import _bucket_size
     from mcaat_tpu.kmer.count import upload_codes
+    from mcaat_tpu.reads.chains import Chains
 
-    chains: list[list[int]] = []
+    parts: list[Chains] = []
     for lo in range(0, len(kept_idx), chunk_reads):
         sel = kept_idx[lo : lo + chunk_reads]
         n_kept = len(sel)
@@ -239,20 +341,35 @@ def _chains_for_kept(
         # int32 on device before the download: node ids fit, and the
         # [kept, W] id matrix is the mapper's largest device->host
         # transfer (89MB as int64 at the 600M-window shapes)
+        if table is not None:
+            ids_dev = _table_lookup_ids(
+                table[0], table[1], kmers.reshape(-1)
+            )
+        else:
+            ids_dev = graph.lookup(kmers.reshape(-1))
         ids_kept = np.asarray(
-            graph.lookup(kmers.reshape(-1))
-            .reshape(kmers.shape)[:n_kept]
-            .astype(jnp.int32)
+            ids_dev.reshape(kmers.shape)[:n_kept].astype(jnp.int32)
         )
         if tick is not None:
             tick(f"chain lookup+download ({n_kept} kept)")
         n_win_host = np.maximum(lengths_k[:n_kept] - graph.k + 1, 0)
-        chains.extend(
-            ids_kept[i, : int(n_win_host[i])].tolist() for i in range(n_kept)
-        )
+        parts.append(Chains.from_dense(ids_kept, n_win_host))
         if tick is not None:
             tick("chain materialize")
-    return chains
+    return Chains.concat(parts)
+
+
+@jax.jit
+def _table_lookup_ids(table_kms, table_ids, queries):
+    """Window k-mers → ids through a SMALL sorted (kmers, ids) side
+    table; -1 for misses. Same contract as ``graph.lookup`` except ids
+    come from ``table_ids`` (e.g. global ids of the region rows)."""
+    from mcaat_tpu.graph.dbg import _lookup
+
+    pos = _lookup(table_kms, queries)
+    return jnp.where(
+        pos >= 0, table_ids[jnp.maximum(pos, 0)].astype(jnp.int32), -1
+    )
 
 
 def _bucketed_cycle_kmer_table(graph: DBG, cycle_nodes: set[int]) -> jax.Array:
@@ -289,8 +406,10 @@ def _map_batch(
     phase 1 (the keep decision) run as ONE lookup over all reads with no
     code upload; otherwise the code matrix goes up packed, chunk-wise.
     """
+    from mcaat_tpu.reads.chains import Chains
+
     if full_batch.num_reads == 0:
-        return []
+        return Chains.empty()
     from mcaat_tpu.graph.dbg import _bucket_size
     from mcaat_tpu.utils.profiling import tick_printer
 
@@ -302,7 +421,7 @@ def _map_batch(
     R_total = full_batch.num_reads
 
     if int(np.asarray(full_batch.lengths).max(initial=0)) < graph.k:
-        return []
+        return Chains.empty()
 
     if endpoints is not None:
         from mcaat_tpu.kmer.count import SENTINEL
@@ -332,7 +451,7 @@ def _map_batch(
 
     from mcaat_tpu.kmer.count import upload_codes
 
-    chains: list[list[int]] = []
+    parts: list[Chains] = []
     for lo in range(0, R_total, chunk_reads):
         c_np = full_batch.codes[lo : lo + chunk_reads]
         l_np = full_batch.lengths[lo : lo + chunk_reads]
@@ -354,7 +473,7 @@ def _map_batch(
         kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
         if len(kept_idx) == 0:
             continue
-        chains.extend(
+        parts.append(
             _chains_for_kept(graph, codes, lengths, kept_idx, L_pad, chunk_reads)
         )
-    return chains
+    return Chains.concat(parts)

@@ -17,11 +17,28 @@ import time
 from dataclasses import dataclass, field
 
 
+def host_rss_mb() -> float:
+    """Current host RSS in MB (VmRSS on Linux; ru_maxrss fallback).
+    Cheap enough for per-stage sampling — the attribution evidence for
+    the per-process host-memory budget (VERDICT r4 #2)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
 @dataclass
 class StageStats:
     name: str
     seconds: float = 0.0
     counters: dict[str, float] = field(default_factory=dict)
+    rss_mb: float = 0.0  # host RSS at stage END (attribution, not peak)
 
 
 class Profiler:
@@ -37,6 +54,7 @@ class Profiler:
             yield stats
         finally:
             stats.seconds = time.perf_counter() - t0
+            stats.rss_mb = round(host_rss_mb(), 1)
             self.stages.append(stats)
 
     def count(self, stage_name: str, **counters) -> None:
@@ -58,7 +76,12 @@ class Profiler:
     def to_json(self) -> str:
         return json.dumps(
             [
-                {"name": s.name, "seconds": s.seconds, "counters": s.counters}
+                {
+                    "name": s.name,
+                    "seconds": s.seconds,
+                    "counters": s.counters,
+                    "rss_mb": s.rss_mb,
+                }
                 for s in self.stages
             ]
         )

@@ -10,8 +10,14 @@ to a multi-million-node graph (production k=23, RC on), and records:
   * node-table SHA parity: distributed build vs single-process build
   * report parity: multi-host report vs single-process `run_pipeline`
 
-Writes MULTIHOST_ATSCALE_r4.json at the repo root. Scale knobs:
-MCAAT_AS_BACKGROUND (default 3_000_000 bp), MCAAT_AS_ARRAYS (20).
+Writes MULTIHOST_ATSCALE_r5.json at the repo root. Scale knobs:
+MCAAT_AS_BACKGROUND (default 3_000_000 bp), MCAAT_AS_ARRAYS (20),
+MCAAT_AS_COUNT_ROWS (per-part per-shard counting budget — set low to
+force n_parts > 1 through the per-shard merge stacks, VERDICT r4 #3).
+
+r5 additions: per-stage host-RSS attribution (VERDICT r4 #2), per-stage
+routed-collective wire volumes (VERDICT r4 #1), and the multi-part
+distributed counting evidence.
 
 Usage:  python scripts/multihost_atscale.py
 """
@@ -74,6 +80,8 @@ def parent() -> int:
         env["MCAAT_NUM_PROCESSES"] = str(N_PROC)
         env["MCAAT_PROCESS_ID"] = str(pid)
         env["MCAAT_AS_FASTQ"] = fq
+        if "MCAAT_AS_COUNT_ROWS" in os.environ:
+            env["MCAAT_COUNT_SHARD_ROWS"] = os.environ["MCAAT_AS_COUNT_ROWS"]
         # children advance in lockstep through jax.distributed collectives;
         # PIPEs read sequentially can deadlock once a later child fills its
         # 64KB buffer while child 0 still runs (ADVICE r4) — log to files
@@ -173,6 +181,9 @@ def parent() -> int:
         "peak_rss_gb_per_process": [
             c["peak_rss_gb"] for c in child_stats
         ],
+        "n_parts": st0.get("n_parts"),
+        "stages_child0": st0.get("stages"),
+        "wire_bytes_child0": st0.get("wire"),
         "node_table_parity": bool(sha_parity),
         "report_parity": bool(report_parity),
         "n_systems": st0.get("n_systems"),
@@ -185,7 +196,7 @@ def parent() -> int:
             "hosts 4 virtual devices + replicated host orchestration)."
         ),
     }
-    with open(os.path.join(REPO, "MULTIHOST_ATSCALE_r4.json"), "w") as fh:
+    with open(os.path.join(REPO, "MULTIHOST_ATSCALE_r5.json"), "w") as fh:
         json.dump(artifact, fh, indent=2)
     print(json.dumps(artifact, indent=2))
     if not (report_parity and sha_parity):

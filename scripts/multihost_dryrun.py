@@ -142,7 +142,11 @@ def child() -> int:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mcaat_tpu.kmer.count import SENTINEL
-    from mcaat_tpu.parallel.sharded_graph import build_sharded_dbg, frontier_step
+    from mcaat_tpu.parallel.sharded_graph import (
+        build_sharded_dbg,
+        frontier_step,
+        tag_adjacency,
+    )
 
     fq = os.environ["MCAAT_MH_FASTQ"]
     batch = read_host_shard(fq, pid, n_proc)
@@ -197,9 +201,8 @@ def child() -> int:
     live_gids = np.nonzero(live)[0][:16].astype(np.int32)
     frontier = np.full(32, -1, dtype=np.int32)
     frontier[: len(live_gids)] = live_gids
-    nbrs = frontier_step(
-        mesh, sg.kmers, sg.out, sg.valid, jnp.asarray(frontier), route_cap=1 << 8
-    )
+    outv = tag_adjacency(mesh, sg.out, sg.valid)
+    nbrs = frontier_step(mesh, outv, jnp.asarray(frontier), route_cap=1 << 8)
     n_exp = int(jnp.sum(jax.jit(
         lambda x: jnp.sum(x >= 0), out_shardings=NamedSharding(mesh, P())
     )(nbrs)))

@@ -364,3 +364,57 @@ def test_parallel_ordering_pool_matches_serial(tmp_path, monkeypatch):
         )
 
     assert strip_timings(out_par) == strip_timings(out_ser)
+
+
+def test_region_first_mapping_matches_full_table(tmp_path, monkeypatch):
+    """VERDICT r4 #5: with the condense threshold forced low, the mapper
+    joins kept chains against the cycle REGION table (out-of-region
+    windows -> -1) and hands the grown mask to the ordering stage. The
+    report and systems must equal the default full-table run, and the
+    chains must agree on every in-region entry."""
+    import contextlib
+    import io
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from synthetic import make_metagenome, write_fastq
+
+    from mcaat_tpu import pipeline as pl
+    from mcaat_tpu.settings import Settings
+
+    meta = make_metagenome(seed=53, n_arrays=2, n_spacers=5, coverage=40.0)
+    f = tmp_path / "r.fq"
+    write_fastq(str(f), meta["reads"])
+
+    def run(tag):
+        s = Settings(
+            input_files=str(f), output_file=str(tmp_path / f"{tag}.txt")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            return pl.run_pipeline(s, verbose=True)
+
+    r_full = run("full")
+    # force the region-first path (condense threshold below graph size)
+    monkeypatch.setattr(pl, "REGION_CONDENSE_MIN_NODES", 1)
+    from mcaat_tpu.cycles import finder as _finder
+
+    monkeypatch.setattr(_finder, "NEIGHBORHOOD_MIN_NODES", 1)
+    r_region = run("region")
+    assert r_region.report_text == r_full.report_text
+    assert [fs.repeat for fs in r_region.found_systems] == [
+        fs.repeat for fs in r_full.found_systems
+    ]
+    assert [fs.spacers for fs in r_region.found_systems] == [
+        fs.spacers for fs in r_full.found_systems
+    ]
+    # chains: same keep set/lengths; in-region entries identical; region
+    # replaces out-of-region ids with -1 only
+    assert len(r_region.reads) == len(r_full.reads)
+    import numpy as np
+
+    a, b = r_region.reads, r_full.reads
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    diff = a.flat != b.flat
+    assert (a.flat[diff] == -1).all()

@@ -8,7 +8,11 @@ from mcaat_tpu.graph.dbg import build_dbg_from_reads
 from mcaat_tpu.io.fastq import encode_sequences
 from mcaat_tpu.kmer.count import SENTINEL
 from mcaat_tpu.parallel.sharded import make_pipeline_mesh
-from mcaat_tpu.parallel.sharded_graph import build_sharded_dbg, frontier_step
+from mcaat_tpu.parallel.sharded_graph import (
+    build_sharded_dbg,
+    frontier_step,
+    tag_adjacency,
+)
 
 
 def make_reads(n=32, length=60, seed=0):
@@ -106,20 +110,54 @@ def test_frontier_step_expands_correctly():
     Q = 32
     frontier = np.full(Q, -1, dtype=np.int32)
     frontier[: len(live_ids)] = live_ids
+    outv = tag_adjacency(mesh, sg.out, sg.valid)
     nbrs = np.asarray(
-        frontier_step(
-            mesh, sg.kmers, sg.out, sg.valid, jnp.asarray(frontier),
-            route_cap=1 << 8,
-        )
+        frontier_step(mesh, outv, jnp.asarray(frontier), route_cap=1 << 8)
     )
     for qi in range(Q):
         gid = frontier[qi]
         if gid < 0:
             assert (nbrs[qi] == -1).all()
             continue
+        # untagged (>= 0) entries are exactly the valid out-neighbors
         expected = set(int(v) for v in g_out[gid] if v >= 0 and g_valid[v])
         got = set(int(v) for v in nbrs[qi] if v >= 0)
         assert got == expected
+        # tagged entries (-2-gid) decode to the invalid out-neighbors
+        expected_inv = set(int(v) for v in g_out[gid] if v >= 0 and not g_valid[v])
+        got_inv = set(int(-2 - v) for v in nbrs[qi] if v <= -2)
+        assert got_inv == expected_inv
+
+
+def test_tag_adjacency_roundtrip():
+    """Tags must encode exactly the target validity and decode to the
+    original adjacency."""
+    from mcaat_tpu.parallel.sharded_graph import decode_tagged
+
+    batch = make_reads(n=8, length=50, seed=5)
+    mesh = make_pipeline_mesh()
+    sg, _ = build_sharded_dbg(mesh, batch.codes, batch.lengths, k=11)
+    kp, T = sg.kmers.shape
+    # invalidate an arbitrary subset so both tag states occur
+    valid_h = np.asarray(sg.valid).copy()
+    rng = np.random.default_rng(0)
+    live = np.nonzero(valid_h.reshape(-1))[0]
+    kill = rng.choice(live, size=max(len(live) // 3, 1), replace=False)
+    valid_h.reshape(-1)[kill] = False
+    valid = jnp.asarray(valid_h)
+
+    outv = np.asarray(tag_adjacency(mesh, sg.out, valid))
+    raw = np.asarray(sg.out)
+    dec = np.asarray(decode_tagged(jnp.asarray(outv)))
+    np.testing.assert_array_equal(dec, raw)
+    vflat = valid_h.reshape(-1)
+    ent = raw.reshape(-1)
+    tag = outv.reshape(-1)
+    present = ent >= 0
+    np.testing.assert_array_equal(
+        tag[present] >= 0, vflat[ent[present]]
+    )
+    assert (tag[~present] == -1).all()
 
 
 def test_pipeline_sharded_build_matches_single_device():

@@ -184,3 +184,59 @@ def test_sharded_checkpoint_kill_and_resume(tmp_path):
     s3 = Settings(input_files=str(f), output_file=str(tmp_path / "c.txt"))
     r3 = _run_pipeline_sharded(s3, verbose=False, checkpoint_dir=ck)
     assert r3.report_text == r1.report_text
+
+
+def test_sharded_lazy_path_matches_single_device(tmp_path, monkeypatch):
+    """At >= LAZY_CLIP_MIN_NODES the sharded pipeline defers the tip clip
+    (no chain collapse, no O(N) collectives); with the threshold forced
+    low, the sharded lazy path must still match the single-device run
+    (which makes the same lazy choice at the same threshold)."""
+    from mcaat_tpu.cycles import finder as _finder
+
+    monkeypatch.setattr(_finder, "LAZY_CLIP_MIN_NODES", 1)
+    # keep the assertion invariant LAZY >= NEIGHBORHOOD intact
+    monkeypatch.setattr(_finder, "NEIGHBORHOOD_MIN_NODES", 1)
+    meta = make_metagenome(seed=41, n_arrays=2, n_spacers=5, coverage=40.0)
+    res_single = _run(tmp_path, meta, "off", "lazy_single")
+    res_sharded = _run(tmp_path, meta, "auto", "lazy_sharded")
+    assert res_sharded.report_text == res_single.report_text
+    assert len(res_sharded.found_systems) == len(res_single.found_systems)
+    for a, b in zip(res_sharded.found_systems, res_single.found_systems):
+        assert a.full_sequence == b.full_sequence
+        assert a.spacers == b.spacers
+
+
+def test_sharded_candidate_ids_matches_mask():
+    """The per-shard two-stage candidate scan must equal the full-graph
+    candidate mask (same predicate, candidate-proportional downloads)."""
+    import jax.numpy as jnp
+
+    from mcaat_tpu.cycles.start_nodes import _candidate_mask
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.parallel.sharded_graph import (
+        _vmult_filter,
+        sharded_candidate_ids,
+        tagged_adjacency,
+    )
+    from mcaat_tpu.parallel.sharded_pipeline import (
+        build_sharded_graph_for_pipeline,
+    )
+    from mcaat_tpu.settings import Settings
+
+    meta = make_metagenome(seed=7, n_arrays=1, n_spacers=4, coverage=35.0)
+    batch = encode_sequences(meta["reads"])
+    sg = build_sharded_graph_for_pipeline(batch.codes, batch.lengths, Settings())
+    assert sg is not None
+    valid0 = _vmult_filter(sg.valid, sg.mult)
+    outv, inv = tagged_adjacency(sg, valid0)
+    for thr in (0, 20):
+        got = sharded_candidate_ids(sg, valid0, outv, inv, thr)
+        want_mask = _candidate_mask(
+            sg.out.reshape(-1),
+            sg.in_.reshape(-1),
+            valid0.reshape(-1),
+            sg.mult.reshape(-1),
+            thr,
+        )
+        want = np.nonzero(np.asarray(want_mask))[0]
+        np.testing.assert_array_equal(got, want)
