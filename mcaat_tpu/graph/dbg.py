@@ -244,6 +244,54 @@ def _join_lookup1(table: jax.Array, q: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _join_lookup1_trusted(table: jax.Array, q: jax.Array) -> jax.Array:
+    """Sort-join rank WITHOUT the hit-verification gather, for queries
+    guaranteed present in the table (r5 adjacency attribution,
+    VERDICT r4 #6).
+
+    The adjacency's destination join qualifies: every live edge's
+    SUFFIX is a k-window of the same read (the window one position
+    right, or the read's last window — with RC, of the RC read), and
+    ``derive_nodes_from_edges`` builds the node table as exactly the
+    unique k-windows (edge prefixes ∪ last windows), so v ∈ table
+    always. That removes the 134M-row random ``table[rank]`` gather
+    (measured ~2.2s of the 11s single-shot at the 796M-window shape)
+    AND lets the tag bit pack into the sort key's low bit (46-bit
+    k-mers << 63), dropping one int32 operand from the 268M-row sort.
+    SENTINEL queries (padded edge rows) still return -1 — they sort
+    into the SENTINEL-padded table tail, whose ranks are >= the live
+    row count only when... they are NOT: a SENTINEL query's rank points
+    at the last table row, so callers MUST mask dead rows themselves
+    (``_edge_slots`` does, via ``live``). Regression:
+    tests/test_graph.py asserts trusted == verified on real builds.
+    """
+    T = table.shape[0]
+    # key2 = key << 1 | is_query: table rows sort before equal-key
+    # queries, exactly like the (key, tag) 2-key sort. SENTINEL (int64
+    # max) would overflow the shift, so SENTINEL rows (bucket-padded
+    # table tails / dead queries) map to a 2^62 ceiling above every real
+    # 47-bit key2 — they keep sorting LAST, leaving real ranks intact.
+    big = jnp.int64(1) << jnp.int64(62)
+    k2 = jnp.concatenate(
+        [
+            jnp.where(table == SENTINEL, big, table << jnp.int64(1)),
+            jnp.where(
+                q == SENTINEL, big | 1, (q << jnp.int64(1)) | jnp.int64(1)
+            ),
+        ]
+    )
+    n = k2.shape[0]
+    orig = jnp.arange(n, dtype=jnp.int32)
+    sk, so = jax.lax.sort((k2, orig), num_keys=1)
+    rank = jnp.cumsum(1 - (sk & 1).astype(jnp.int32)) - 1
+    _o, rank_orig = jax.lax.sort((so, rank), num_keys=1)
+    r = rank_orig[T:]
+    return jnp.where(q != SENTINEL, jnp.minimum(r, T - 1), -1).astype(
+        jnp.int32
+    )
+
+
+@jax.jit
 def _neighbors(adj: jax.Array, valid: jax.Array, ids: jax.Array) -> jax.Array:
     ids_c = jnp.maximum(ids, 0)
     slots = ids_c[..., None] * 4 + jnp.arange(4, dtype=jnp.int32)
@@ -303,7 +351,14 @@ def _edge_slots(kmers23, edges24, live, k, u_id=None):
     if u_id is None:
         u_id, v_id = _join_lookup2(kmers23, u, v)
     else:
-        v_id = _join_lookup1(kmers23, v)
+        # suffix-closure invariant ⇒ the verification gather is dead
+        # weight (see _join_lookup1_trusted); MCAAT_VERIFY_ADJ=1 keeps
+        # the checked join for debugging (checked at trace time)
+        v_id = (
+            _join_lookup1(kmers23, v)
+            if os.environ.get("MCAAT_VERIFY_ADJ")
+            else _join_lookup1_trusted(kmers23, v)
+        )
     ok = live & (u_id >= 0) & (v_id >= 0)
 
     # Flat 1-D scatter slots with uniqueness/sortedness hints (the general

@@ -39,18 +39,24 @@ from mcaat_tpu.report.batched_fuzz import MAXLEN, _match_masks
 GROUP = 8  # sublane rows per program -> 8*128 = 1024 pairs/program
 
 
-def _lcs_kernel(mlo_ref, mhi_ref, b_ref, blen_ref, alen_ref, flo_ref, fhi_ref, out_ref):
+def _lcs_kernel(mlo_ref, mhi_ref, bw_ref, blen_ref, alen_ref, flo_ref, fhi_ref, out_ref):
     # the length-dependent all-ones masks are precomputed by XLA and
     # passed in: Mosaic cannot legalize unsigned min (arith.minui) on
     # this toolchain, and the kernel body then needs only &,|,+,-,
-    # compares and shifts-by-constant
+    # compares and shifts-by-constant. b arrives 2-bit-PACKED as 4
+    # uint32 planes (16 codes/word): the r4 form shipped b as a
+    # [64, G, 128] byte cube whose XLA-side transpose dominated the
+    # prep (VERDICT r4 #8) — packed, the transpose is 16x smaller and
+    # the per-step code is a constant-shift extract on a VMEM word.
     full_lo = flo_ref[:]
     full_hi = fhi_ref[:]
 
     blen = blen_ref[:]
     slo, shi = full_lo, full_hi
     for j in range(MAXLEN):
-        c = b_ref[j].astype(jnp.int32)  # [G, 128]
+        c = (
+            (bw_ref[j // 16] >> jnp.uint32(2 * (j % 16))) & jnp.uint32(3)
+        ).astype(jnp.int32)  # [G, 128]
         mlo = jnp.where(
             c == 0,
             mlo_ref[0],
@@ -105,7 +111,17 @@ def lcs_batch_pallas(
     G = B_pad // 128
     mlo = masks[:, :, 0].T.reshape(4, G, 128)
     mhi = masks[:, :, 1].T.reshape(4, G, 128)
-    bT = pad(b_codes).T.reshape(MAXLEN, G, 128)
+    # 2-bit-pack b into 4 uint32 words/lane (bits are disjoint ⇒ the
+    # shifted sum is an OR); [B_pad, 4] transposes 16x cheaper than the
+    # r4 [B_pad, 64] byte cube
+    b_u = pad(b_codes).astype(jnp.uint32)  # [B_pad, 64]
+    sh = (jnp.uint32(2) * (jnp.arange(16, dtype=jnp.uint32)))[None, :]
+    bw = jnp.stack(
+        [
+            jnp.sum(b_u[:, w * 16 : (w + 1) * 16] << sh, axis=1)
+            for w in range(MAXLEN // 16)
+        ]
+    ).reshape(MAXLEN // 16, G, 128)
     blen = pad(b_lengths).reshape(G, 128)
     alen_flat = pad(a_lengths)
     alen = alen_flat.reshape(G, 128)
@@ -133,7 +149,7 @@ def lcs_batch_pallas(
         in_specs=[
             pl.BlockSpec((4, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((MAXLEN, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((MAXLEN // 16, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -141,7 +157,7 @@ def lcs_batch_pallas(
         ],
         out_specs=pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-        )(mlo, mhi, bT, blen, alen, flo, fhi)
+        )(mlo, mhi, bw, blen, alen, flo, fhi)
     return out.reshape(B_pad)[:B]
 
 

@@ -203,3 +203,48 @@ def test_bucket_size_ladder():
     # buckets are always >= n (no silent truncation anywhere)
     for n in (3, 999, 4097, 67_108_865, 200_000_000):
         assert _bucket_size(n) >= n
+
+
+def test_trusted_join_matches_verified():
+    """_join_lookup1_trusted == _join_lookup1 for in-table queries (the
+    adjacency's suffix-closure case), including SENTINEL-padded tables
+    and SENTINEL queries (VERDICT r4 #6)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcaat_tpu.graph.dbg import _join_lookup1, _join_lookup1_trusted
+    from mcaat_tpu.kmer.count import SENTINEL
+
+    rng = np.random.default_rng(3)
+    table_live = np.unique(rng.integers(0, 1 << 46, size=5000, dtype=np.int64))
+    pad = np.full(1000, np.int64(SENTINEL))
+    table = jnp.asarray(np.concatenate([table_live, pad]))
+    q_real = rng.choice(table_live, size=8192, replace=True)
+    q = np.concatenate([q_real, np.full(512, np.int64(SENTINEL))])
+    got = np.asarray(_join_lookup1_trusted(table, jnp.asarray(q)))
+    want = np.asarray(_join_lookup1(table, jnp.asarray(q)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_build_adjacency_trusted_matches_verified(monkeypatch):
+    """The full adjacency with the trusted join equals MCAAT_VERIFY_ADJ=1
+    on a real build (env checked at trace time, so clear jit caches)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(48)]
+    b = encode_sequences(seqs)
+
+    g1 = build_dbg_from_reads(b.codes, b.lengths, k=23)
+    monkeypatch.setenv("MCAAT_VERIFY_ADJ", "1")
+    jax.clear_caches()
+    g2 = build_dbg_from_reads(b.codes, b.lengths, k=23)
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(g1.out), np.asarray(g2.out))
+    np.testing.assert_array_equal(np.asarray(g1.in_), np.asarray(g2.in_))
