@@ -36,7 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mcaat_tpu.report.batched_fuzz import MAXLEN, _match_masks
 
-GROUP = 8  # sublane rows per program -> 8*128 = 1024 pairs/program
+# sublane rows per grid step -> 32*128 = 4096 pairs/step. Swept on v5e
+# (scripts r5): {8: 9.5, 32: 10.7, 64: 10.6} M pairs/s at 1M pairs —
+# larger blocks amortize per-step overheads; 32 is the knee.
+GROUP = 32
+
+# the 64-step statically-unrolled kernel's trace/lowering recursion sits
+# near CPython's default 1000-frame limit on the real-TPU (Mosaic) path
+# (interpret mode stays shallower); headroom, set once at import
+import sys as _sys
+
+if _sys.getrecursionlimit() < 10_000:
+    _sys.setrecursionlimit(10_000)
 
 
 def _lcs_kernel(mlo_ref, mhi_ref, bw_ref, blen_ref, alen_ref, flo_ref, fhi_ref, out_ref):
@@ -52,11 +63,13 @@ def _lcs_kernel(mlo_ref, mhi_ref, bw_ref, blen_ref, alen_ref, flo_ref, fhi_ref, 
     full_hi = fhi_ref[:]
 
     blen = blen_ref[:]
+    words = [bw_ref[w] for w in range(MAXLEN // 16)]  # hoisted VMEM loads
     slo, shi = full_lo, full_hi
     for j in range(MAXLEN):
-        c = (
-            (bw_ref[j // 16] >> jnp.uint32(2 * (j % 16))) & jnp.uint32(3)
-        ).astype(jnp.int32)  # [G, 128]
+        # c stays uint32: Mosaic's uint32->int32 convert helper recurses
+        # infinitely on this toolchain (same family as the minui limit),
+        # and c is only ever compared anyway
+        c = (words[j // 16] >> (2 * (j % 16))) & jnp.uint32(3)
         mlo = jnp.where(
             c == 0,
             mlo_ref[0],
@@ -69,16 +82,22 @@ def _lcs_kernel(mlo_ref, mhi_ref, bw_ref, blen_ref, alen_ref, flo_ref, fhi_ref, 
         )
         ulo, uhi = slo & mlo, shi & mhi
         plo = slo + ulo
-        phi = shi + uhi + (plo < slo).astype(jnp.uint32)
+        # carries/borrows as selects, not bool->uint32 astype: Mosaic's
+        # convert-to-unsigned helper recurses on this toolchain
+        one = jnp.uint32(1)
+        zero = jnp.uint32(0)
+        phi = shi + uhi + jnp.where(plo < slo, one, zero)
         qlo = slo - ulo
-        qhi = shi - uhi - (slo < ulo).astype(jnp.uint32)
+        qhi = shi - uhi - jnp.where(slo < ulo, one, zero)
         nlo, nhi = plo | qlo, phi | qhi
         live = j < blen
         slo = jnp.where(live, nlo & full_lo, slo)
         shi = jnp.where(live, nhi & full_hi, shi)
 
+    # stay unsigned end to end: Mosaic's uint32<->int32 converts recurse
+    # on this toolchain (alen arrives uint32; XLA converts the output)
     ones = _popcount32(slo & full_lo) + _popcount32(shi & full_hi)
-    out_ref[:] = alen_ref[:] - ones.astype(jnp.int32)
+    out_ref[:] = alen_ref[:] - ones
 
 
 def _popcount32(x):
@@ -116,15 +135,21 @@ def lcs_batch_pallas(
     # r4 [B_pad, 64] byte cube
     b_u = pad(b_codes).astype(jnp.uint32)  # [B_pad, 64]
     sh = (jnp.uint32(2) * (jnp.arange(16, dtype=jnp.uint32)))[None, :]
+    # dtype pinned: under the session's x64, jnp.sum(uint32) promotes its
+    # accumulator to uint64 — a 64-bit kernel operand Mosaic cannot
+    # convert (its u64->u32 helper recurses)
     bw = jnp.stack(
         [
-            jnp.sum(b_u[:, w * 16 : (w + 1) * 16] << sh, axis=1)
+            jnp.sum(
+                b_u[:, w * 16 : (w + 1) * 16] << sh, axis=1,
+                dtype=jnp.uint32,
+            )
             for w in range(MAXLEN // 16)
         ]
     ).reshape(MAXLEN // 16, G, 128)
     blen = pad(b_lengths).reshape(G, 128)
     alen_flat = pad(a_lengths)
-    alen = alen_flat.reshape(G, 128)
+    alen = alen_flat.astype(jnp.uint32).reshape(G, 128)
 
     # length-dependent all-ones masks, precomputed in XLA (see kernel)
     la = alen_flat.astype(jnp.uint32)
@@ -144,7 +169,7 @@ def lcs_batch_pallas(
     with jax.enable_x64(False):
         out = pl.pallas_call(
         _lcs_kernel,
-        out_shape=jax.ShapeDtypeStruct((G, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G, 128), jnp.uint32),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((4, GROUP, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -158,7 +183,7 @@ def lcs_batch_pallas(
         out_specs=pl.BlockSpec((GROUP, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
         )(mlo, mhi, bw, blen, alen, flo, fhi)
-    return out.reshape(B_pad)[:B]
+    return out.reshape(B_pad)[:B].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

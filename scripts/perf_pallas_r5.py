@@ -47,7 +47,10 @@ def prep_only(a_codes, a_lengths, b_codes, b_lengths):
     sh = (jnp.uint32(2) * (jnp.arange(16, dtype=jnp.uint32)))[None, :]
     bw = jnp.stack(
         [
-            jnp.sum(b_u[:, w * 16 : (w + 1) * 16] << sh, axis=1)
+            jnp.sum(
+                b_u[:, w * 16 : (w + 1) * 16] << sh, axis=1,
+                dtype=jnp.uint32,
+            )
             for w in range(MAXLEN // 16)
         ]
     ).reshape(MAXLEN // 16, G, 128)
