@@ -83,7 +83,12 @@ def _grow_region(out, in_, valid, seed_mask, hops: int):
 # formulation's 8 gathers/hop x read_len hops cost ~3.8s at a 300k-node
 # region graph (600M-window run), where the frontier never exceeds a few
 # thousand nodes. Identical semantics (parity-tested both ways).
-GROW_FRONTIER_MIN_NODES = 100_000
+# r5: raised 100k -> 1M. The one-program growth is hops x O(4N) work —
+# ~600M gather-elems at 1M nodes x 150 hops (~0.3s), far from the 16.7M-
+# node worker crash (r2) — while the phased frontier kernel pays ~150
+# per-phase tunnel dispatches (~1.5s of the ordering stage at the 796M
+# shape's 174k-node region graph).
+GROW_FRONTIER_MIN_NODES = 1_000_000
 
 
 def keep_crispr_regions_extended_by_k(
