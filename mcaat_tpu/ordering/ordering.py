@@ -83,12 +83,12 @@ def _grow_region(out, in_, valid, seed_mask, hops: int):
 # formulation's 8 gathers/hop x read_len hops cost ~3.8s at a 300k-node
 # region graph (600M-window run), where the frontier never exceeds a few
 # thousand nodes. Identical semantics (parity-tested both ways).
-# r5: raised 100k -> 1M. The one-program growth is hops x O(4N) work —
-# ~600M gather-elems at 1M nodes x 150 hops (~0.3s), far from the 16.7M-
-# node worker crash (r2) — while the phased frontier kernel pays ~150
-# per-phase tunnel dispatches (~1.5s of the ordering stage at the 796M
-# shape's 174k-node region graph).
-GROW_FRONTIER_MIN_NODES = 1_000_000
+# r5 NEGATIVE: raising this to 1M (one program of hops x O(4N) gathers
+# for the compact region re-growth) measured ~4.3s vs ~1.6s phased at
+# the 796M shape's 174k-node region — random gathers price at ~0.15s/8M
+# elems, so 78 hops x ~3M slots ≈ 4.5s; the phased frontier kernel's
+# ~150 tunnel dispatches are cheaper. Kept at 100k.
+GROW_FRONTIER_MIN_NODES = 100_000
 
 
 def keep_crispr_regions_extended_by_k(
