@@ -480,10 +480,10 @@ def sharded_get_reads(
     cycles: list[list[int]],
     chunk_reads: int = 1 << 20,
     sources: list[MapSource] | None = None,
-) -> list[list[int]]:
-    """≙ reference get_reads (src/reads.cpp:91-130) with every window
-    lookup routed to its owner shard (``sharded_lookup`` over kp); chains
-    carry GLOBAL node ids.
+    region_provider=None,
+):
+    """≙ reference get_reads (src/reads.cpp:91-130); chains carry GLOBAL
+    node ids.
 
     ``sources`` carries already-parsed batches + host endpoint k-mers
     (zero FASTQ re-parses; phase 1 is host np.isin against the
@@ -493,6 +493,19 @@ def sharded_get_reads(
     allgathered into global file order, so read mapping scales with
     process count while every process still ends with the identical
     replicated chain list the downstream orchestration requires.
+
+    ``region_provider`` (the at-scale path, mirroring the single-device
+    ``reads.mapper.get_reads``): a callable ``read_chain_len ->
+    (sorted_kmers, global_ids) | None`` for the cycle REGION's node
+    table. When given, it is called once with the GLOBALLY-first kept
+    read's window count (allgathered across processes) and phase 2 joins
+    kept windows against that small table on each process's LOCAL
+    device — zero routed lookups, zero mesh programs in phase 2.
+    Out-of-region windows map to -1; ordering-output-identical (the
+    proof is at reads/mapper.get_reads — chain entries are consumed
+    only via region-subset membership and post-map adjacent equality).
+    Without it, every window routes to its owner shard
+    (``sharded_lookup`` over kp) against the full table.
     """
     import jax
 
@@ -502,10 +515,22 @@ def sharded_get_reads(
         sources = default_map_sources(sg, fastq_file_1, fastq_file_2)
     cycle_nodes = sorted({int(n) for cyc in cycles for n in cyc})
     cyc_kms = _cycle_kmers_for_gids(sg, cycle_nodes)
+
+    # phase 1 (host, per source): kept-read indices
+    plan = []
+    for src in sources:
+        plan.append((src, _phase1_kept_sharded(sg, src, cyc_kms, chunk_reads)))
+
+    table = None
+    if region_provider is not None:
+        rcl = _global_first_kept_windows(sg, plan)
+        if rcl > 0:
+            table = region_provider(rcl)
+
     parts: list[Chains] = []
     keys_parts: list[np.ndarray] = []
-    for src in sources:
-        c, ky = _map_batch_sharded(sg, src, cyc_kms, chunk_reads)
+    for src, kept in plan:
+        c, ky = _map_kept_sharded(sg, src, kept, chunk_reads, table)
         parts.append(c)
         keys_parts.append(ky)
     chains = Chains.concat(parts)
@@ -515,6 +540,36 @@ def sharded_get_reads(
     if jax.process_count() > 1:
         return _exchange_chains(chains, keys)
     return chains.select(np.argsort(keys, kind="stable"))
+
+
+def _global_first_kept_windows(sg: ShardedDBG, plan) -> int:
+    """Window count of the globally-first kept read (by order key) —
+    the region-growth hop count. One tiny allgather in multi-process
+    runs; every process computes the identical value."""
+    import jax
+    import numpy as np
+
+    best_key = np.int64(np.iinfo(np.int64).max)
+    best_win = np.int64(0)
+    for src, kept in plan:
+        if len(kept) == 0:
+            continue
+        j = int(kept[0])  # kept ascending ⇒ minimal order key of the source
+        key = np.int64(src.order_key[j])
+        if key < best_key:
+            best_key = key
+            best_win = np.int64(
+                max(int(src.batch.lengths[j]) - sg.k + 1, 0)
+            )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pairs = multihost_utils.process_allgather(
+            np.asarray([best_key, best_win], dtype=np.int64)
+        ).reshape(-1, 2)
+        w = int(pairs[np.argmin(pairs[:, 0]), 1])
+        return w
+    return int(best_win)
 
 
 def _sharded_lookup_ids(sg: ShardedDBG, flat: jax.Array) -> np.ndarray:
@@ -580,60 +635,81 @@ def _cycle_kmers_for_gids(sg: ShardedDBG, cycle_nodes) -> np.ndarray:
     )[:n]
 
 
-def _map_batch_sharded(sg: ShardedDBG, src: MapSource, cyc_kms: np.ndarray,
-                       chunk_reads):
-    """Returns (chains, order_keys) for the kept reads of one source.
-
-    Phase 1 is pure host work — the stashed endpoint k-mers test
-    membership in the (replicated, tiny) cycle k-mer table — so the
-    keep decision costs zero device programs and zero routing (r4;
-    previously 2 routed lookups/read). The full code matrix uploads
-    only for the kept reads (~3% on CRISPR-bearing data)."""
-    from mcaat_tpu.kmer.count import extract_kmers, upload_codes
-    from mcaat_tpu.reads.chains import Chains
-
+def _phase1_kept_sharded(sg: ShardedDBG, src: MapSource,
+                         cyc_kms: np.ndarray, chunk_reads) -> np.ndarray:
+    """Phase 1: kept-read row indices of one source — pure host work
+    (the stashed endpoint k-mers test membership in the replicated,
+    tiny cycle k-mer table): zero device programs, zero routing (r4;
+    previously 2 routed lookups/read). Reference keep rule: first or
+    last window node in the cycle set, src/reads.cpp:74-76; SENTINEL
+    endpoints (len < k) never match a real cycle k-mer."""
     full_batch = src.batch
-    empty = (Chains.empty(), np.zeros(0, np.int64))
     if full_batch.num_reads == 0:
-        return empty
+        return np.zeros(0, np.int64)
     k = sg.k
-    L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
-    if L_pad < k:
-        return empty
-    parts: list[Chains] = []
-    keys_parts: list[np.ndarray] = []
+    if max(full_batch.max_len, 32) < k:
+        return np.zeros(0, np.int64)
+    kept = []
     for lo in range(0, full_batch.num_reads, chunk_reads):
         l_np = full_batch.lengths[lo : lo + chunk_reads]
-        R = len(l_np)
-        # phase 1: endpoint-only keep decision (reference keeps a read iff
-        # its first or last window node is in the cycle set,
-        # src/reads.cpp:74-76) — k-mer membership on host. SENTINEL
-        # endpoints (len < k) never match a real cycle k-mer.
         firsts_km = src.first_km[lo : lo + chunk_reads]
         lasts_km = src.last_km[lo : lo + chunk_reads]
         eligible = l_np > 2 * k
         keep = eligible & (
             np.isin(firsts_km, cyc_kms) | np.isin(lasts_km, cyc_kms)
         )
-        kept_idx = np.nonzero(keep)[0]
-        if len(kept_idx) == 0:
-            continue
-        # phase 2: full window chains for the kept reads only
-        n_kept = len(kept_idx)
+        kept.append(lo + np.nonzero(keep)[0])
+    return np.concatenate(kept) if kept else np.zeros(0, np.int64)
+
+
+def _map_kept_sharded(sg: ShardedDBG, src: MapSource, kept_idx: np.ndarray,
+                      chunk_reads, table=None):
+    """Phase 2: full window chains for one source's kept reads.
+
+    With ``table`` (the cycle region's (sorted_kmers, global_ids) host
+    pair) the join runs on each process's LOCAL device against the
+    uploaded small table — no mesh program, no routing. Without it,
+    windows route to their owner shards (``_sharded_lookup_ids``)."""
+    from mcaat_tpu.kmer.count import extract_kmers, upload_codes
+    from mcaat_tpu.reads.chains import Chains
+    from mcaat_tpu.reads.mapper import _table_lookup_ids
+
+    full_batch = src.batch
+    empty = (Chains.empty(), np.zeros(0, np.int64))
+    if len(kept_idx) == 0:
+        return empty
+    k = sg.k
+    L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
+    if L_pad < k:
+        return empty
+    if table is not None:
+        t_kms = jnp.asarray(table[0])
+        t_ids = jnp.asarray(table[1])
+    parts: list[Chains] = []
+    keys_parts: list[np.ndarray] = []
+    for lo in range(0, len(kept_idx), chunk_reads):
+        sel = kept_idx[lo : lo + chunk_reads]
+        n_kept = len(sel)
         g_pad = _bucket_size(n_kept)
-        c_np = full_batch.codes[lo + kept_idx]
+        c_np = full_batch.codes[sel]
+        l_sel = full_batch.lengths[sel]
         codes_k = np.zeros((g_pad, L_pad), dtype=np.uint8)
         codes_k[:n_kept, : c_np.shape[1]] = c_np
         lengths_k = np.zeros((g_pad,), dtype=np.int32)
-        lengths_k[:n_kept] = l_np[kept_idx]
+        lengths_k[:n_kept] = l_sel
         kmers = extract_kmers(
             upload_codes(codes_k), jnp.asarray(lengths_k), k
         )
         W = kmers.shape[1]
-        ids = _sharded_lookup_ids(sg, kmers.reshape(-1)).reshape(g_pad, W)
+        if table is not None:
+            ids = np.asarray(
+                _table_lookup_ids(t_kms, t_ids, kmers.reshape(-1))
+            ).reshape(g_pad, W)
+        else:
+            ids = _sharded_lookup_ids(sg, kmers.reshape(-1)).reshape(g_pad, W)
         n_windows = np.maximum(lengths_k[:n_kept] - k + 1, 0).astype(np.int32)
         parts.append(Chains.from_dense(ids[:n_kept], n_windows))
-        keys_parts.append(src.order_key[lo + kept_idx])
+        keys_parts.append(src.order_key[sel])
     chains = Chains.concat(parts)
     keys = np.concatenate(keys_parts) if keys_parts else np.zeros(0, np.int64)
     return chains, keys
@@ -648,8 +724,9 @@ def condense_region(
     sg: ShardedDBG,
     valid,
     cycles: list[list[int]],
-    reads: list[list[int]],
+    reads,
     read_chain_len: int,
+    region_mask: HostBitset | None = None,
 ):
     """Compact the read_len-hop cycle region and remap cycles + reads.
 
@@ -670,11 +747,17 @@ def condense_region(
     from mcaat_tpu.cycles.neighborhood import remap_chains
     from mcaat_tpu.prune.prune import clip_tips
 
-    seeds = np.asarray(
-        sorted({int(n) for cyc in cycles for n in cyc}), dtype=np.int64
-    )
-    outv, inv = tagged_adjacency(sg, valid)
-    reached = sharded_region_mask(sg, valid, outv, inv, seeds, read_chain_len)
+    if region_mask is not None:
+        # grown by the region-first mapper with the same seeds/hops/epoch
+        reached = region_mask
+    else:
+        seeds = np.asarray(
+            sorted({int(n) for cyc in cycles for n in cyc}), dtype=np.int64
+        )
+        outv, inv = tagged_adjacency(sg, valid)
+        reached = sharded_region_mask(
+            sg, valid, outv, inv, seeds, read_chain_len
+        )
     region, gids = extract_sharded_subgraph(sg, valid, reached)
     if sg.n_nodes >= _finder.LAZY_CLIP_MIN_NODES:
         region, _ = clip_tips(region)
@@ -779,6 +862,51 @@ def run_sharded_downstream(
         print("🔸STEP 6: Finding relevant reads")
 
     f1, f2 = settings.fastq_files()
+
+    # region-first mapping at condense scale (mirrors pipeline.run_pipeline):
+    # the cycle region grows before the chain lookup and phase 2 joins the
+    # kept windows against its small node table on each process's local
+    # device; the ordering stage reuses the mask
+    from mcaat_tpu.pipeline import _condense_threshold
+
+    region_state: dict = {}
+
+    def _region_provider(read_chain_len: int):
+        from mcaat_tpu.graph.dbg import _bucket_size as _bs
+        from mcaat_tpu.kmer.count import SENTINEL as _SENT
+        from mcaat_tpu.parallel.sharded_graph import (
+            routed_gather,
+            tagged_adjacency,
+        )
+
+        seeds = np.asarray(
+            sorted({int(n) for cyc in result.cycles for n in cyc}),
+            dtype=np.int64,
+        )
+        outv, inv = tagged_adjacency(sg, valid)
+        reached = sharded_region_mask(
+            sg, valid, outv, inv, seeds, read_chain_len
+        )
+        region_state["mask"] = reached
+        region_state["read_chain_len"] = read_chain_len
+        gids = reached.to_indices().astype(np.int64)
+        if len(gids) == 0:
+            return None
+        pad = _bucket_size(len(gids))
+        gb = np.full(pad, -1, dtype=np.int64)
+        gb[: len(gids)] = gids
+        kms = np.array(
+            routed_gather(sg.mesh, sg.kmers, jnp.asarray(gb), route_cap=pad)
+        )  # np.array: a writable copy (np.asarray views are read-only)
+        # dead-gid rows gather 0 — pad to SENTINEL so they never match
+        kms[len(gids):] = int(_SENT)
+        # gids ascending + shards own ascending k-mer ranges ⇒ sorted
+        return kms, np.concatenate(
+            [gids, np.full(pad - len(gids), -1, dtype=np.int64)]
+        )
+
+    use_region_join = sg.n_nodes >= _condense_threshold()
+
     if checkpoint_dir and os.path.exists(_ck("reads.json")):
         reads = ckpt.load_reads(_ck("reads.json"))
         if verbose:
@@ -786,7 +914,8 @@ def run_sharded_downstream(
     else:
         with prof.stage("read_mapping"):
             reads = sharded_get_reads(
-                sg, f1, f2, result.cycles, sources=map_sources
+                sg, f1, f2, result.cycles, sources=map_sources,
+                region_provider=_region_provider if use_region_join else None,
             )
         if checkpoint_dir:
             import jax as _jax
@@ -807,9 +936,13 @@ def run_sharded_downstream(
         print("🔸STEP 7: Order the spacers")
 
     read_chain_len = len(reads[0]) if reads else 0
+    region_mask = None
+    if reads and region_state.get("read_chain_len") == read_chain_len:
+        region_mask = region_state.get("mask")
     with prof.stage("spacer_ordering"):
         region, cycles_c, reads_c = condense_region(
-            sg, valid, result.cycles, reads, read_chain_len
+            sg, valid, result.cycles, reads, read_chain_len,
+            region_mask=region_mask,
         )
         graph, found_systems = spacer_ordering_step(
             region, reads_c, cycles_c, verbose
