@@ -398,82 +398,22 @@ def _map_batch(
     chunk_reads: int = 1 << 20,
     endpoints: tuple | None = None,
     verbose: bool = False,
-) -> list[list[int]]:
-    """Batched window lookup in read blocks (memory-bounded at scale).
-
-    ``endpoints`` — device-resident ``(first_km, last_km)`` int64 arrays
-    (rows ≥ num_reads, tail padded) stashed by the graph build — lets
-    phase 1 (the keep decision) run as ONE lookup over all reads with no
-    code upload; otherwise the code matrix goes up packed, chunk-wise.
-    """
+):
+    """Batched window lookup for one batch (memory-bounded at scale):
+    ``_phase1_kept`` keep decision + ``_chains_for_kept`` full chains.
+    Kept as the direct-API / _map_sequences entry; ``get_reads`` drives
+    the same two phases itself (it needs the kept sets of ALL batches
+    before building the region table)."""
     from mcaat_tpu.reads.chains import Chains
 
     if full_batch.num_reads == 0:
         return Chains.empty()
-    from mcaat_tpu.graph.dbg import _bucket_size
-    from mcaat_tpu.utils.profiling import tick_printer
-
-    _t = tick_printer("mapper", verbose)
-    cyc_km_j = _bucketed_cycle_kmer_table(graph, cycle_nodes)
-
-    # pad L to a multiple of 32 so datasets share compiled shapes
-    L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
-    R_total = full_batch.num_reads
-
     if int(np.asarray(full_batch.lengths).max(initial=0)) < graph.k:
         return Chains.empty()
-
-    if endpoints is not None:
-        from mcaat_tpu.kmer.count import SENTINEL
-
-        first_km, last_km = endpoints
-        # bucket-pad the row count (device-side, tiny concat) so the keep
-        # program reuses a handful of compiled shapes across datasets —
-        # the build hands these over at exact per-file sizes, and a fresh
-        # remote compile per novel read count costs 1-500s
-        R_dev = int(first_km.shape[0])
-        R_pad = _bucket_size(max(R_dev, 1))
-        if R_pad > R_dev:
-            pad = jnp.full((R_pad - R_dev,), SENTINEL, first_km.dtype)
-            first_km = jnp.concatenate([first_km, pad])
-            last_km = jnp.concatenate([last_km, pad])
-        lengths_full = np.zeros(R_pad, dtype=np.int32)
-        lengths_full[:R_total] = full_batch.lengths
-        keep_d = _keep_from_endpoints(
-            cyc_km_j, first_km, last_km, jnp.asarray(lengths_full), graph.k
-        )
-        kept_idx = np.nonzero(np.asarray(keep_d)[:R_total])[0]
-        _t(f"endpoint keep decision ({len(kept_idx)} kept)")
-        return _chains_for_kept(
-            graph, full_batch.codes, full_batch.lengths, kept_idx,
-            L_pad, chunk_reads, tick=_t if verbose else None,
-        )
-
-    from mcaat_tpu.kmer.count import upload_codes
-
-    parts: list[Chains] = []
-    for lo in range(0, R_total, chunk_reads):
-        c_np = full_batch.codes[lo : lo + chunk_reads]
-        l_np = full_batch.lengths[lo : lo + chunk_reads]
-        # bucket the row count so repeat runs reuse compiled programs;
-        # zero-length pad rows produce no windows and are filtered out
-        R = c_np.shape[0]
-        R_pad = _bucket_size(R)
-        codes = np.zeros((R_pad, L_pad), dtype=np.uint8)
-        codes[:R, : c_np.shape[1]] = c_np
-        lengths = np.zeros((R_pad,), dtype=np.int32)
-        lengths[:R] = l_np
-        if int(l_np.max(initial=0)) < graph.k:
-            continue
-        # phase 1: endpoint-only keep decision (2 windows per read);
-        # codes go up 2-bit packed (the tunnel is transfer-bound)
-        keep_d = _endpoint_keep_mask(
-            cyc_km_j, upload_codes(codes), jnp.asarray(lengths), graph.k
-        )
-        kept_idx = np.nonzero(np.asarray(keep_d[:R]))[0]
-        if len(kept_idx) == 0:
-            continue
-        parts.append(
-            _chains_for_kept(graph, codes, lengths, kept_idx, L_pad, chunk_reads)
-        )
-    return Chains.concat(parts)
+    cyc_km_j = _bucketed_cycle_kmer_table(graph, cycle_nodes)
+    kept_idx = _phase1_kept(graph, full_batch, cyc_km_j, endpoints)
+    L_pad = max((full_batch.max_len + 31) // 32 * 32, 32)
+    return _chains_for_kept(
+        graph, full_batch.codes, full_batch.lengths, kept_idx, L_pad,
+        chunk_reads,
+    )
