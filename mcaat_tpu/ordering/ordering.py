@@ -264,20 +264,82 @@ def divide_graph_into_subgraphs(out: np.ndarray, valid: np.ndarray) -> list[Subg
     return subgraphs
 
 
+# Above this node count the host-side growth's adjacency download
+# (2 x 16 B/node) outweighs the phased device kernel; below it the
+# growth reuses the SCC split's own download and runs as pure numpy
+# hops — the phased kernel paid ~150 per-hop tunnel dispatches (~1.6s
+# at the 796M shape's 174k-node region graph, r5).
+_HOST_GROW_MAX_NODES = 4_000_000
+
+
 def get_crispr_regions_extended_by_k(
     graph: DBG, k_hops: int, cycles: list[list[int]], verbose: bool = False
 ) -> tuple[DBG, list[Subgraph]]:
+    import jax.numpy as jnp
+
     from mcaat_tpu.utils.profiling import tick_printer
 
     _t = tick_printer("  region split", verbose)
-    graph = keep_crispr_regions_extended_by_k(graph, k_hops, cycles)
-    _t("keep_crispr growth")
-    out_h = np.asarray(graph.out).reshape(-1, 4)
-    valid_h = np.asarray(graph.valid)
-    _t("adjacency download")
+    if GROW_FRONTIER_MIN_NODES <= graph.size <= _HOST_GROW_MAX_NODES:
+        # compact (condensed-region) graphs: download the adjacency ONCE
+        # (the SCC split needs out/valid anyway), grow on host, push the
+        # shrunken validity back up
+        out_h = np.asarray(graph.out).reshape(-1, 4)
+        in_h = np.asarray(graph.in_).reshape(-1, 4)
+        valid_h = np.asarray(graph.valid)
+        _t("adjacency download")
+        seeds = np.unique(
+            np.asarray(
+                sorted({int(v) for c in cycles for v in c}), dtype=np.int64
+            )
+        )
+        reached = _region_mask_host_arrays(
+            out_h, in_h, valid_h, seeds, int(k_hops)
+        )
+        valid_h = valid_h & reached
+        graph = graph.with_valid(jnp.asarray(valid_h))
+        _t("keep_crispr growth (host)")
+    else:
+        graph = keep_crispr_regions_extended_by_k(graph, k_hops, cycles)
+        _t("keep_crispr growth")
+        out_h = np.asarray(graph.out).reshape(-1, 4)
+        valid_h = np.asarray(graph.valid)
+        _t("adjacency download")
     subgraphs = divide_graph_into_subgraphs(out_h, valid_h)
     _t("SCC + subgraph build")
     return graph, subgraphs
+
+
+def _region_mask_host_arrays(
+    out_h: np.ndarray,  # [N, 4]
+    in_h: np.ndarray,  # [N, 4]
+    valid_h: np.ndarray,  # [N]
+    seeds: np.ndarray,
+    hops: int,
+) -> np.ndarray:
+    """Pure-host undirected region growth over downloaded adjacency —
+    identical semantics to keep_crispr_regions_extended_by_k's growth
+    (invalid neighbors join the reached set, only valid nodes expand;
+    src/spacer_ordering.cpp:96-129). Each hop is numpy gathers over the
+    live frontier: zero device dispatches."""
+    n = valid_h.shape[0]
+    reached = np.zeros(n, dtype=bool)
+    if len(seeds) == 0:
+        return reached
+    reached[seeds] = True
+    frontier = seeds[valid_h[seeds]]
+    for _ in range(hops):
+        if len(frontier) == 0:
+            break
+        nbrs = np.concatenate(
+            [out_h[frontier].ravel(), in_h[frontier].ravel()]
+        )
+        nbrs = nbrs[nbrs >= 0]
+        new = np.unique(nbrs)
+        new = new[~reached[new]]
+        reached[new] = True
+        frontier = new[valid_h[new]]
+    return reached
 
 
 # ---------------------------------------------------------------------------

@@ -318,3 +318,37 @@ def test_keep_crispr_regions_growth_paths_match():
         finally:
             om.GROW_FRONTIER_MIN_NODES = old_thr
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_host_region_growth_matches_device(monkeypatch):
+    """The pure-host growth path (compact region graphs, r5) must equal
+    keep_crispr_regions_extended_by_k's device growth."""
+    import numpy as np
+
+    from mcaat_tpu import ordering as _pkg  # noqa: F401
+    from mcaat_tpu.graph.dbg import build_dbg_from_reads
+    from mcaat_tpu.io.fastq import encode_sequences
+    from mcaat_tpu.ordering import ordering as om
+
+    rng = np.random.default_rng(29)
+    seqs = ["".join(rng.choice(list("ACGT"), size=80)) for _ in range(60)]
+    b = encode_sequences(seqs)
+    g = build_dbg_from_reads(b.codes, b.lengths, k=23)
+    # pick arbitrary "cycles" among valid nodes
+    valid_ids = np.nonzero(np.asarray(g.valid))[0]
+    cycles = [valid_ids[:5].tolist(), valid_ids[50:53].tolist()]
+
+    dev = om.keep_crispr_regions_extended_by_k(g, 7, cycles)
+    out_h = np.asarray(g.out).reshape(-1, 4)
+    in_h = np.asarray(g.in_).reshape(-1, 4)
+    valid_h = np.asarray(g.valid)
+    seeds = np.unique(
+        np.asarray(sorted({v for c in cycles for v in c}), dtype=np.int64)
+    )
+    reached = om._region_mask_host_arrays(out_h, in_h, valid_h, seeds, 7)
+    np.testing.assert_array_equal(valid_h & reached, np.asarray(dev.valid))
+
+    # and the split entry takes the host tier when thresholds allow
+    monkeypatch.setattr(om, "GROW_FRONTIER_MIN_NODES", 1)
+    g2, subs2 = om.get_crispr_regions_extended_by_k(g, 7, cycles)
+    np.testing.assert_array_equal(np.asarray(g2.valid), np.asarray(dev.valid))
